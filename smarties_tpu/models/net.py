@@ -1,0 +1,230 @@
+"""Function approximators: MLP / LSTM / GRU stacks with a param head.
+
+TPU-native replacement of the reference's hand-written NN library
+(source/smarties/Network/{Network,Builder}.{h,cpp}, Layers/*): layers become
+batched jnp matmuls under jit (MXU) instead of per-sample GEMV
+(Layers.h:33-61 GEMVomp); BPTT becomes lax.scan over time.
+
+Init conventions follow the reference exactly:
+- weights ~ U(-f, f) with f = initializationFac * act.initFactor(nIn, nOut)
+  (Layer_Base.h:115-141); initFactor per activation from Functions.h
+  (SoftSign/Tanh: sqrt(6/(in+out)); Relu/SoftPlus/Exp: sqrt(2/in);
+  Linear: sqrt(1/in));
+- biases zero, except explicit bias init via the activation inverse
+  (Layer_Base.h:122-125);
+- the output layer is Linear with initializationFac = outWeightsPrefac
+  (default 0.1, Builder.cpp / HyperParameters);
+- a trainable state-independent ParamLayer appends extra outputs (used for
+  the policy stdev head, RACER_common.cpp:96-103).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------- activations (Functions.h) ----------------
+
+def _soft_sign(x):
+    return x / (1 + jnp.abs(x))
+
+
+_ACTS = {
+    "Linear": lambda x: x,
+    "Tanh": jnp.tanh,
+    "Sigm": jax.nn.sigmoid,
+    "SoftSign": _soft_sign,
+    "Relu": jax.nn.relu,
+    "LRelu": lambda x: jnp.where(x > 0, x, 0.01 * x),
+    "SoftPlus": lambda x: (x + jnp.sqrt(1 + x * x)) / 2,
+    "Exp": jnp.exp,
+    "HardSign": lambda x: x / jnp.sqrt(1 + x * x),
+}
+
+_INIT_FACTOR = {
+    # Functions.h _initFactor per activation
+    "Linear": lambda i, o: np.sqrt(1.0 / i),
+    "Tanh": lambda i, o: np.sqrt(6.0 / (i + o)),
+    "Sigm": lambda i, o: np.sqrt(6.0 / (i + o)),
+    "SoftSign": lambda i, o: np.sqrt(6.0 / (i + o)),
+    "HardSign": lambda i, o: np.sqrt(6.0 / (i + o)),
+    "Relu": lambda i, o: np.sqrt(2.0 / i),
+    "LRelu": lambda i, o: np.sqrt(1.0 / i),
+    "SoftPlus": lambda i, o: np.sqrt(2.0 / i),
+    "Exp": lambda i, o: np.sqrt(2.0 / i),
+}
+
+
+def activation(name: str):
+    return _ACTS[name]
+
+
+@dataclass(frozen=True)
+class NetSpec:
+    """Static architecture description (reference: Builder.cpp:27-180)."""
+    n_in: int
+    hidden: Tuple[int, ...] = (128, 128)
+    n_out: int = 1
+    kind: str = "FFNN"              # FFNN | LSTM | GRU (nnType)
+    act: str = "SoftSign"           # nnFunc
+    out_act: str = "Linear"         # nnOutputFunc
+    out_prefac: float = 0.1         # outWeightsPrefac
+    n_param_out: int = 0            # trainable param head size (stdev)
+    param_init: Tuple[float, ...] = ()   # raw bias init of the param head
+    out_bias_init: Tuple[float, ...] = ()
+
+    @property
+    def total_out(self) -> int:
+        return self.n_out + self.n_param_out
+
+    @property
+    def is_recurrent(self) -> bool:
+        return self.kind in ("LSTM", "GRU", "RNN")
+
+
+def _uniform(key, shape, fac):
+    return jax.random.uniform(key, shape, jnp.float32, -fac, fac)
+
+
+def init_params(key, spec: NetSpec) -> Dict:
+    """Build the parameter pytree."""
+    params = {"layers": [], "out": {}, }
+    sizes = [spec.n_in] + list(spec.hidden)
+    keys = jax.random.split(key, len(spec.hidden) + 2)
+    for li, (nin, nout) in enumerate(zip(sizes[:-1], sizes[1:])):
+        k = keys[li]
+        if spec.kind == "FFNN" or spec.kind == "RNN":
+            fac = _INIT_FACTOR[spec.act](nin, nout)
+            layer = {"W": _uniform(k, (nin, nout), fac),
+                     "b": jnp.zeros((nout,), jnp.float32)}
+            if spec.kind == "RNN":
+                layer["R"] = _uniform(jax.random.fold_in(k, 1),
+                                      (nout, nout), fac)
+        elif spec.kind == "LSTM":
+            # 4 gates: input-mod (Tanh-like) + 3 sigmoid gates
+            # (Layer_LSTM.h); glorot per gate
+            fac_c = _INIT_FACTOR["Tanh"](nin, nout)
+            fac_g = _INIT_FACTOR["Sigm"](nin, nout)
+            ks = jax.random.split(k, 8)
+            layer = {
+                "Wc": _uniform(ks[0], (nin, nout), fac_c),
+                "Wi": _uniform(ks[1], (nin, nout), fac_g),
+                "Wf": _uniform(ks[2], (nin, nout), fac_g),
+                "Wo": _uniform(ks[3], (nin, nout), fac_g),
+                "Rc": _uniform(ks[4], (nout, nout), fac_c),
+                "Ri": _uniform(ks[5], (nout, nout), fac_g),
+                "Rf": _uniform(ks[6], (nout, nout), fac_g),
+                "Ro": _uniform(ks[7], (nout, nout), fac_g),
+                "bc": jnp.zeros((nout,), jnp.float32),
+                "bi": jnp.zeros((nout,), jnp.float32),
+                # forget-gate bias primed to 1 (standard; the reference zeroes
+                # it only in finite-difference test builds, Bund.h:62-67)
+                "bf": jnp.ones((nout,), jnp.float32),
+                "bo": jnp.zeros((nout,), jnp.float32),
+            }
+        elif spec.kind == "GRU":
+            # MGU (minimal gated unit) as in Layer_GRU.h
+            fac_c = _INIT_FACTOR["Tanh"](nin, nout)
+            fac_g = _INIT_FACTOR["Sigm"](nin, nout)
+            ks = jax.random.split(k, 4)
+            layer = {
+                "Wf": _uniform(ks[0], (nin, nout), fac_g),
+                "Rf": _uniform(ks[1], (nout, nout), fac_g),
+                "Wh": _uniform(ks[2], (nin, nout), fac_c),
+                "Rh": _uniform(ks[3], (nout, nout), fac_c),
+                "bf": jnp.zeros((nout,), jnp.float32),
+                "bh": jnp.zeros((nout,), jnp.float32),
+            }
+        else:
+            raise ValueError(spec.kind)
+        params["layers"].append(layer)
+
+    # output layer: Linear, prefac-scaled init (Builder setLastLayersBias)
+    nin = sizes[-1]
+    fac = spec.out_prefac * _INIT_FACTOR[spec.out_act](nin, spec.n_out)
+    bias = jnp.zeros((spec.n_out,), jnp.float32)
+    if spec.out_bias_init:
+        bias = jnp.asarray(spec.out_bias_init, jnp.float32)
+    params["out"] = {"W": _uniform(keys[-2], (nin, spec.n_out), fac),
+                     "b": bias}
+    if spec.n_param_out:
+        pinit = (jnp.asarray(spec.param_init, jnp.float32)
+                 if spec.param_init else
+                 jnp.zeros((spec.n_param_out,), jnp.float32))
+        params["param"] = pinit
+    return params
+
+
+def init_carry(spec: NetSpec, batch_shape=()):
+    """Zero recurrent state (AgentContext analog, ThreadContext.h)."""
+    if not spec.is_recurrent:
+        return ()
+    carries = []
+    for h in spec.hidden:
+        if spec.kind == "LSTM":
+            carries.append((jnp.zeros(batch_shape + (h,), jnp.float32),
+                            jnp.zeros(batch_shape + (h,), jnp.float32)))
+        else:
+            carries.append(jnp.zeros(batch_shape + (h,), jnp.float32))
+    return tuple(carries)
+
+
+def apply_net(params: Dict, spec: NetSpec, x, carry=()):
+    """Forward pass. x: [..., n_in]. Returns (y [..., total_out], new_carry).
+
+    Batched over leading axes; recurrent carries must share those axes.
+    """
+    act = _ACTS[spec.act]
+    h = x
+    new_carry = []
+    for li, layer in enumerate(params["layers"]):
+        if spec.kind == "FFNN":
+            h = act(h @ layer["W"] + layer["b"])
+        elif spec.kind == "RNN":
+            prev = carry[li]
+            h = act(h @ layer["W"] + prev @ layer["R"] + layer["b"])
+            new_carry.append(h)
+        elif spec.kind == "LSTM":
+            hprev, cprev = carry[li]
+            zc = jnp.tanh(h @ layer["Wc"] + hprev @ layer["Rc"] + layer["bc"])
+            zi = jax.nn.sigmoid(h @ layer["Wi"] + hprev @ layer["Ri"]
+                                + layer["bi"])
+            zf = jax.nn.sigmoid(h @ layer["Wf"] + hprev @ layer["Rf"]
+                                + layer["bf"])
+            zo = jax.nn.sigmoid(h @ layer["Wo"] + hprev @ layer["Ro"]
+                                + layer["bo"])
+            c = zf * cprev + zi * zc
+            h = zo * jnp.tanh(c)
+            new_carry.append((h, c))
+        elif spec.kind == "GRU":
+            hprev = carry[li]
+            f = jax.nn.sigmoid(h @ layer["Wf"] + hprev @ layer["Rf"]
+                               + layer["bf"])
+            hh = jnp.tanh(h @ layer["Wh"] + (f * hprev) @ layer["Rh"]
+                          + layer["bh"])
+            h = (1 - f) * hprev + f * hh
+            new_carry.append(h)
+    y = _ACTS[spec.out_act](h @ params["out"]["W"] + params["out"]["b"])
+    if spec.n_param_out:
+        p = jnp.broadcast_to(params["param"], y.shape[:-1]
+                             + (spec.n_param_out,))
+        y = jnp.concatenate([y, p], axis=-1)
+    return y, tuple(new_carry)
+
+
+def apply_net_seq(params: Dict, spec: NetSpec, xs, carry):
+    """Run a time sequence with lax.scan (BPTT path).
+
+    xs: [T, ..., n_in]; carry batched over the non-time axes.
+    Returns (ys [T, ..., total_out], final_carry).
+    """
+    def step(c, x):
+        y, c2 = apply_net(params, spec, x, c)
+        return c2, y
+
+    final, ys = jax.lax.scan(step, carry, xs)
+    return ys, final

@@ -1,0 +1,410 @@
+"""On-device episode-slotted replay memory with ReF-ER state.
+
+TPU-native re-design of the reference's replay layer
+(source/smarties/ReplayMemory/{MemoryBuffer,Episode,MemoryProcessing}.*):
+pointer-linked Episode objects + OpenMP sweeps become fixed-shape device
+arrays [n_slots, max_len+1, ...] with validity masks, so that ingestion,
+sampling, Retrace recomputation, ReF-ER bookkeeping and forgetting are all
+jit-compiled masked array ops (no host round-trips in the hot path).
+
+Array layout (state-indexed time axis, see ops/returns.py):
+  t in [0, T]   : states; V/A/Qret; rho/kl/delta (rho[T] == 0)
+  t in [1, T]   : rewards (reward received on arriving at state t)
+  t in [0, T-1] : actions and behavior policies mu
+
+Scalars carried in the state (reference MemoryBuffer.h:41-44): the ReF-ER
+penalization weight beta, the annealed clip CmaxRet (and its inverse), and
+the CMA cost-mix alpha.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smarties_tpu.ops.returns import batched_return_estimate
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+class ReplayState(NamedTuple):
+    # episode storage
+    states: jnp.ndarray      # [E, L+1, dimS] raw (unstandardized) states
+    actions: jnp.ndarray     # [E, L+1, dimA] learner-space actions
+    mus: jnp.ndarray         # [E, L+1, dimPol] behavior policy vectors
+    rewards: jnp.ndarray     # [E, L+1] raw rewards, rewards[:,0] == 0
+    length: jnp.ndarray      # [E] i32: T = number of transitions
+    terminal: jnp.ndarray    # [E] bool: reached true terminal state
+    ep_id: jnp.ndarray       # [E] i32 monotone id; -1 == empty slot
+    # learner-filled per-step quantities (Episode.h:76-81)
+    value: jnp.ndarray       # [E, L+1] V(s_t)
+    advantage: jnp.ndarray   # [E, L+1] A(s_t, a_t)
+    qret: jnp.ndarray        # [E, L+1] return estimator
+    rho: jnp.ndarray         # [E, L+1] pi/mu importance weight
+    kl: jnp.ndarray          # [E, L+1] KL(pi, mu)
+    delta: jnp.ndarray       # [E, L+1] TD error (deltaValue)
+    # ReF-ER / annealing scalars (MemoryBuffer.h:41-44)
+    beta: jnp.ndarray        # penalization weight in [0, 1]
+    alpha: jnp.ndarray       # CMA cost mix
+    cmax_ret: jnp.ndarray    # 1 + anneal(C)
+    cinv_ret: jnp.ndarray    # 1 / cmax_ret
+    # running state/reward statistics (MDPdescriptor scaling fields)
+    state_mean: jnp.ndarray  # [dimS]
+    state_std: jnp.ndarray   # [dimS]
+    state_scale: jnp.ndarray  # [dimS] == 1/std
+    rew_mean: jnp.ndarray    # scalar (stays 0 unless OFFPOL_ADAPT)
+    rew_std: jnp.ndarray     # scalar
+    rew_scale: jnp.ndarray   # scalar == 1/std
+    # counters (ReplayStatsCounters.h)
+    n_seen_eps: jnp.ndarray      # i32 total episodes ever stored
+    n_seen_steps: jnp.ndarray    # i32 total transitions ever stored
+    n_pruned_eps: jnp.ndarray    # i32
+    max_abs_error: jnp.ndarray   # stats.maxAbsError running est.
+
+    # ---------------- derived masks / counts ----------------
+    @property
+    def n_slots(self) -> int:
+        return self.states.shape[0]
+
+    @property
+    def max_len(self) -> int:
+        return self.states.shape[1] - 1
+
+    def valid_slots(self):
+        return self.ep_id >= 0
+
+    def valid_steps(self):
+        """[E, L+1] mask of transition indices t < T of valid episodes."""
+        t = jnp.arange(self.states.shape[1])
+        return (t[None, :] < self.length[:, None]) & self.valid_slots()[:, None]
+
+    def n_stored_steps(self):
+        return jnp.sum(jnp.where(self.valid_slots(), self.length, 0))
+
+    def n_stored_eps(self):
+        return jnp.sum(self.valid_slots().astype(I32))
+
+    def scaled_rewards(self):
+        """(r - mean) * scale (Episode::scaledReward, Episode.h:185-189)."""
+        return (self.rewards - self.rew_mean) * self.rew_scale
+
+    def standardized_states(self):
+        """(s - mean) * scale (Episode::standardizedState, :171-183)."""
+        return (self.states - self.state_mean) * self.state_scale
+
+
+def init_replay(n_slots: int, max_len: int, dim_state: int, dim_action: int,
+                dim_policy: int) -> ReplayState:
+    E, L1 = n_slots, max_len + 1
+    z = lambda *s: jnp.zeros(s, F32)
+    return ReplayState(
+        states=z(E, L1, dim_state), actions=z(E, L1, dim_action),
+        mus=z(E, L1, dim_policy), rewards=z(E, L1),
+        length=jnp.zeros((E,), I32), terminal=jnp.zeros((E,), bool),
+        ep_id=-jnp.ones((E,), I32),
+        value=z(E, L1), advantage=z(E, L1), qret=z(E, L1),
+        rho=z(E, L1), kl=z(E, L1), delta=z(E, L1),
+        beta=jnp.float32(1.0), alpha=jnp.float32(0.5),
+        cmax_ret=jnp.float32(1.0), cinv_ret=jnp.float32(1.0),
+        state_mean=z(dim_state), state_std=jnp.ones((dim_state,), F32),
+        state_scale=jnp.ones((dim_state,), F32),
+        rew_mean=jnp.float32(0.0), rew_std=jnp.float32(1.0),
+        rew_scale=jnp.float32(1.0),
+        n_seen_eps=jnp.int32(0), n_seen_steps=jnp.int32(0),
+        n_pruned_eps=jnp.int32(0), max_abs_error=jnp.float32(0.0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# episode aggregates (Episode.h:83-85, computed on the fly from the arrays
+# instead of incrementally-updated atomics)
+# ---------------------------------------------------------------------------
+
+def episode_aggregates(rs: ReplayState):
+    """Per-slot (frac_far_policy, avg_kl, avg_sq_err) over valid steps."""
+    mask = rs.valid_steps().astype(F32)
+    n = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
+    far = is_far_policy(rs.rho, rs.cmax_ret, rs.cinv_ret) & (mask > 0)
+    frac_far = jnp.sum(far.astype(F32), axis=1) / n
+    avg_kl = jnp.sum(rs.kl * mask, axis=1) / n
+    avg_err = jnp.sum(rs.delta * rs.delta * mask, axis=1) / n
+    return frac_far, avg_kl, avg_err
+
+
+def is_far_policy(rho, cmax, cinv):
+    """1/C < rho < C test (Episode.h:28-33); no filtering when C <= 1."""
+    off = (rho > cmax) | (rho < cinv)
+    return (cmax > 1.0) & off
+
+
+def n_far_policy_steps(rs: ReplayState):
+    far = is_far_policy(rs.rho, rs.cmax_ret, rs.cinv_ret) & rs.valid_steps()
+    return jnp.sum(far.astype(I32))
+
+
+# ---------------------------------------------------------------------------
+# ingestion: commit finished episodes from per-env in-progress buffers
+# ---------------------------------------------------------------------------
+
+def _keep_priority(rs: ReplayState, filter_algo: str):
+    """Higher = kept longer. Empty slots always get -inf (filled first).
+
+    Reference: getERfilterAlgo (MemoryProcessing.cpp:261-298) sorts episodes
+    so the ones to delete are at the back; this is the equivalent key.
+    """
+    if filter_algo in ("oldest", "default"):
+        score = rs.ep_id.astype(F32)
+    elif filter_algo == "farpolfrac":
+        frac_far, _, _ = episode_aggregates(rs)
+        score = -frac_far
+    elif filter_algo == "maxkldiv":
+        _, avg_kl, _ = episode_aggregates(rs)
+        score = -avg_kl
+    elif filter_algo == "minerror":
+        _, _, avg_err = episode_aggregates(rs)
+        score = avg_err
+    else:
+        raise ValueError(filter_algo)
+    return jnp.where(rs.valid_slots(), score, -jnp.inf)
+
+
+def commit_episodes(rs: ReplayState, ep_states, ep_actions, ep_mus,
+                    ep_rewards, ep_value, ep_advantage, ep_qret, ep_rho,
+                    ep_length, ep_terminal, done_mask,
+                    max_tot_obs: int, filter_algo: str = "oldest"):
+    """Scatter finished episodes into replay slots and prune to capacity.
+
+    Args: per-env arrays with leading axis V (the vectorized env count);
+    done_mask [V] selects which envs finished this step. Replaces the
+    reference's mutex-guarded pushBackEpisode + applyEpisodesRemovalAlgo
+    (MemoryBuffer.cpp:479-520, MemoryProcessing.cpp:327-351).
+
+    Victim-slot choice: the K lowest keep-priority slots (empty slots first,
+    then the filter criterion) — equivalent to sort + remove-from-back.
+    """
+    V = done_mask.shape[0]
+    # assign each done env a victim slot: rank envs among done ones
+    prio = _keep_priority(rs, filter_algo)
+    # k-th done env gets the k-th worst slot
+    order = jnp.argsort(prio)            # ascending: worst first
+    done_rank = jnp.cumsum(done_mask.astype(I32)) - 1   # [V]
+    slot_for_env = order[jnp.clip(done_rank, 0, rs.n_slots - 1)]
+    # envs that are not done scatter into a trash position via mode='drop'
+    tgt = jnp.where(done_mask, slot_for_env, rs.n_slots)
+
+    new_ids = rs.n_seen_eps + done_rank  # monotone episode ids
+    n_done = jnp.sum(done_mask.astype(I32))
+
+    def put(dst, src):
+        return dst.at[tgt].set(src, mode="drop")
+
+    zeros_like_t = jnp.zeros_like(rs.value[0])
+    rs = rs._replace(
+        states=put(rs.states, ep_states),
+        actions=put(rs.actions, ep_actions),
+        mus=put(rs.mus, ep_mus),
+        rewards=put(rs.rewards, ep_rewards),
+        value=put(rs.value, ep_value),
+        advantage=put(rs.advantage, ep_advantage),
+        qret=put(rs.qret, ep_qret),
+        rho=put(rs.rho, ep_rho),
+        kl=put(rs.kl, jnp.zeros_like(ep_rho)),
+        delta=put(rs.delta, jnp.zeros_like(ep_rho)),
+        length=put(rs.length, ep_length),
+        terminal=put(rs.terminal, ep_terminal),
+        ep_id=put(rs.ep_id, new_ids),
+        n_seen_eps=rs.n_seen_eps + n_done,
+        n_seen_steps=rs.n_seen_steps + jnp.sum(
+            jnp.where(done_mask, ep_length, 0)),
+    )
+    return prune_to_capacity(rs, max_tot_obs, filter_algo)
+
+
+def prune_to_capacity(rs: ReplayState, max_tot_obs: int, filter_algo: str):
+    """Invalidate lowest-priority episodes until total steps fit.
+
+    Reference: applyEpisodesRemovalAlgo (MemoryProcessing.cpp:327-351):
+    remove from the sorted back while (total - candidate.len) > maxTotObs.
+    Equivalent: in keep-priority-descending order keep episode i iff the
+    cumulative steps *before* it are <= maxTotObs.
+    """
+    prio = _keep_priority(rs, filter_algo)
+    order = jnp.argsort(-prio)  # descending: best kept first
+    lens = jnp.where(rs.valid_slots(), rs.length, 0)[order]
+    csum_before = jnp.cumsum(lens) - lens
+    keep_sorted = csum_before <= max_tot_obs
+    keep = jnp.zeros((rs.n_slots,), bool).at[order].set(keep_sorted)
+    keep = keep & rs.valid_slots()
+    pruned = rs.n_stored_eps() - jnp.sum(keep.astype(I32))
+    return rs._replace(
+        ep_id=jnp.where(keep, rs.ep_id, -1),
+        length=jnp.where(keep, rs.length, 0),
+        n_pruned_eps=rs.n_pruned_eps + pruned,
+    )
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def sample_uniform(key, rs: ReplayState, batch: int):
+    """Uniform over stored transitions; returns (ep_idx, t_idx) [batch].
+
+    Reference: Sample_uniform (Sampling.cpp:49-99). The reference dedups and
+    sorts for cache locality; with B << N collisions are negligible and
+    gathers are order-independent on TPU, so plain iid draws are used.
+    """
+    lens = jnp.where(rs.valid_slots(), rs.length, 0)
+    csum = jnp.cumsum(lens)
+    total = csum[-1]
+    flat = jax.random.randint(key, (batch,), 0, jnp.maximum(total, 1))
+    ep = jnp.searchsorted(csum, flat, side="right").astype(I32)
+    ep = jnp.clip(ep, 0, rs.n_slots - 1)
+    start = csum[ep] - lens[ep]
+    t = (flat - start).astype(I32)
+    return ep, t
+
+
+def sample_per_rank(key, rs: ReplayState, batch: int, beta_annealed):
+    """Rank-based prioritized sampling (TSample_impRank, Sampling.cpp:101-169).
+
+    Probability ~ 1/rank of |TD error| over stored transitions; importance
+    weights ~ (1/(N p)) ** beta normalized by max (reference annealed
+    PER beta exponent, MemoryBuffer.cpp:409-427).
+    Returns (ep_idx, t_idx, importance_weight).
+    """
+    mask = rs.valid_steps()
+    err = jnp.where(mask, jnp.abs(rs.delta), -1.0).reshape(-1)
+    n = err.shape[0]
+    order = jnp.argsort(-err)                 # descending error
+    rank = jnp.zeros((n,), F32).at[order].set(
+        jnp.arange(1, n + 1, dtype=F32))
+    p = jnp.where(mask.reshape(-1), 1.0 / rank, 0.0)
+    p = p / jnp.sum(p)
+    flat = jax.random.choice(key, n, (batch,), p=p)
+    L1 = rs.states.shape[1]
+    ep, t = (flat // L1).astype(I32), (flat % L1).astype(I32)
+    n_data = jnp.maximum(rs.n_stored_steps().astype(F32), 1.0)
+    w = (1.0 / (n_data * p[flat])) ** beta_annealed
+    w = w / jnp.max(w)
+    return ep, t, w
+
+
+# ---------------------------------------------------------------------------
+# ReF-ER rule 2 (beta fixed point) + annealed C (rule 1 schedule)
+# ---------------------------------------------------------------------------
+
+def update_beta_alpha(rs: ReplayState, batch_size: int, max_tot_obs: int,
+                      penal_tol: float):
+    """beta/alpha fixed-point iteration.
+
+    Reference: MemoryProcessing::updateCounters (MemoryProcessing.cpp:46-92):
+    learnRefer = 0.1 * B / max(maxN, nData);
+    beta -> 0 if fracOffPol > D else -> 1.
+    The reference uses one-step-stale global counts (DelayedReductor) to hide
+    MPI latency; on TPU the exact count is a single masked reduction, so the
+    current value is used (same fixed point, no latency to hide).
+    """
+    n_data = rs.n_stored_steps()
+    n_far = n_far_policy_steps(rs)
+    frac_off = n_far.astype(F32) / jnp.maximum(n_data.astype(F32), 1.0)
+    learn_r = 0.1 * batch_size / jnp.maximum(
+        jnp.float32(max_tot_obs), n_data.astype(F32))
+
+    def fix_point(val, go_to_0):
+        lr = jnp.minimum(learn_r, val)
+        to0 = (1 - lr) * val
+        to1 = (1 - lr) * val + jnp.minimum(learn_r, 1 - val)
+        return jnp.where(go_to_0, to0, to1)
+
+    beta = fix_point(rs.beta, frac_off > penal_tol)
+    alpha = fix_point(rs.alpha, jnp.abs(penal_tol - frac_off) < 1e-3)
+    return rs._replace(beta=beta, alpha=alpha), frac_off
+
+
+def update_cmax(rs: ReplayState, n_grad_steps, clip_imp_weight: float,
+                eps_anneal: float):
+    """CmaxRet = 1 + annealRate(C, step, epsAnneal)
+    (updateTrainingStatistics, MemoryProcessing.cpp:193-197)."""
+    c = 1.0 + clip_imp_weight / (1.0 + n_grad_steps.astype(F32) * eps_anneal)
+    return rs._replace(cmax_ret=c, cinv_ret=1.0 / c)
+
+
+# ---------------------------------------------------------------------------
+# state/reward running statistics
+# ---------------------------------------------------------------------------
+
+def update_state_rew_stats(rs: ReplayState, learn_rate, b_init: bool = False,
+                           adapt_state_scale: bool = True):
+    """Annealed running mean/std of stored states and rewards.
+
+    Reference: MemoryProcessing::updateRewardsStats
+    (MemoryProcessing.cpp:94-185): accumulate E[x - old_mean] and
+    E[(x-old_mean)^2] over the whole buffer, then
+      mean += lr * Evar;  var = Evar2 - Evar^2*(2lr - lr^2);
+      std += lr * (sqrt(var) - std);  scale = 1/std.
+    b_init uses lr == 1 (exact stats). adapt_state_scale mirrors
+    SMARTIES_OFFPOL_ADAPT_STSCALE=1 (Bund.h:24).
+    """
+    wr = jnp.float32(1.0) if b_init else jnp.minimum(jnp.float32(1.0),
+                                                     learn_rate)
+    ws = wr if adapt_state_scale else jnp.float32(0.0)
+
+    # rewards: entries t in [1, T]
+    t = jnp.arange(rs.rewards.shape[1])
+    rmask = ((t[None, :] >= 1) & (t[None, :] <= rs.length[:, None])
+             & rs.valid_slots()[:, None]).astype(F32)
+    count = jnp.maximum(jnp.sum(rmask), 1.0)
+    dr = (rs.rewards - rs.rew_mean) * rmask
+    evar_r = jnp.sum(dr) / count
+    evar2_r = jnp.sum(dr * dr) / count
+
+    def upd(mean, std, lr, evar, evar2):
+        new_mean = mean + lr * evar
+        var = evar2 - evar * evar * (2 * lr - lr * lr)
+        var = jnp.maximum(var, np.finfo(np.float32).eps)
+        new_std = std + lr * (jnp.sqrt(var) - std)
+        return new_mean, new_std, 1.0 / new_std
+
+    # NOTE: the reference keeps rewardsMean = 0 unless a compile flag sets
+    # it; updateStats is applied to the second moment only through mean
+    # updates too — we apply the same update to both, matching the code.
+    rmean, rstd, rscale = upd(rs.rew_mean, rs.rew_std, wr, evar_r, evar2_r)
+
+    smask = ((t[None, :] <= rs.length[:, None])
+             & rs.valid_slots()[:, None]).astype(F32)[..., None]
+    scount = jnp.maximum(jnp.sum(smask), 1.0)
+    ds = (rs.states - rs.state_mean) * smask
+    evar_s = jnp.sum(ds, axis=(0, 1)) / scount
+    evar2_s = jnp.sum(ds * ds, axis=(0, 1)) / scount
+    smean, sstd, sscale = upd(rs.state_mean, rs.state_std, ws,
+                              evar_s, evar2_s)
+
+    return rs._replace(rew_mean=rmean, rew_std=rstd, rew_scale=rscale,
+                       state_mean=smean, state_std=sstd, state_scale=sscale)
+
+
+# ---------------------------------------------------------------------------
+# full-buffer return-estimator recomputation
+# ---------------------------------------------------------------------------
+
+def recompute_returns(rs: ReplayState, gamma: float, lam: float,
+                      mode: str = "retrace"):
+    """Backward recursion over every stored episode.
+
+    Reference cadence: at episode ingest (MemoryBuffer.cpp:118-170) and full
+    sweeps every 1000 grad steps / after scaling updates
+    (updateTrainingStatistics + rescaleAllReturnEstimator,
+    MemoryProcessing.cpp:187-259, :460-481).
+    """
+    if mode == "none":
+        return rs
+    qret = batched_return_estimate(
+        rs.scaled_rewards(), rs.value, rs.advantage, rs.rho,
+        rs.length, rs.terminal, gamma, lam, mode,
+        err_baseline=rs.max_abs_error)
+    valid = rs.valid_slots()[:, None]
+    return rs._replace(qret=jnp.where(valid, qret, 0.0))
