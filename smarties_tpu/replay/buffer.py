@@ -97,8 +97,12 @@ class ReplayState(NamedTuple):
 
 
 def init_replay(n_slots: int, max_len: int, dim_state: int, dim_action: int,
-                dim_policy: int) -> ReplayState:
+                dim_policy: int, clip_imp_weight: float = 4.0) -> ReplayState:
+    """Initial scalars follow MemoryBuffer.h:41-44: beta starts at 1e-4
+    (near-full KL-penalty mode) when ReF-ER clipping is active, CmaxRet at
+    1 + C, CinvRet at 1/C."""
     E, L1 = n_slots, max_len + 1
+    C = clip_imp_weight
     z = lambda *s: jnp.zeros(s, F32)
     return ReplayState(
         states=z(E, L1, dim_state), actions=z(E, L1, dim_action),
@@ -107,8 +111,10 @@ def init_replay(n_slots: int, max_len: int, dim_state: int, dim_action: int,
         ep_id=-jnp.ones((E,), I32),
         value=z(E, L1), advantage=z(E, L1), qret=z(E, L1),
         rho=z(E, L1), kl=z(E, L1), delta=z(E, L1),
-        beta=jnp.float32(1.0), alpha=jnp.float32(0.5),
-        cmax_ret=jnp.float32(1.0), cinv_ret=jnp.float32(1.0),
+        beta=jnp.float32(1.0 if C <= 0 else 1e-4),
+        alpha=jnp.float32(0.5),
+        cmax_ret=jnp.float32(1.0 + C),
+        cinv_ret=jnp.float32(1.0 / C if C > 0 else 1.0),
         state_mean=z(dim_state), state_std=jnp.ones((dim_state,), F32),
         state_scale=jnp.ones((dim_state,), F32),
         rew_mean=jnp.float32(0.0), rew_std=jnp.float32(1.0),

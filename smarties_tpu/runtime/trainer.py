@@ -1,0 +1,264 @@
+"""Host-side training driver: pacing, warmup, eval, logging, checkpointing.
+
+TPU-native replacement of the reference's Master/Worker/TaskQueue runtime
+(Core/Worker.cpp:53-142 runTraining, Utils/TaskQueue.h): the reference's
+thread pools, task state machines and socket serving loops exist to hide
+CPU/MPI latency; on TPU the same semantics reduce to a host loop that
+alternates two jitted programs — a rollout chunk over all vectorized envs
+and a chunk of gradient steps — paced by the obsPerStep invariant
+(Learner::blockDataAcquisition / blockGradientUpdates, Learner.cpp:102-123).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smarties_tpu.algos.vracer import VRacer
+from smarties_tpu.core.mdp import MDPSpec
+from smarties_tpu.replay import buffer as rb
+from smarties_tpu.replay.collector import (InProgress, RolloutCarry,
+                                           init_inprogress,
+                                           make_rollout_chunk)
+from smarties_tpu.utils.config import HyperParameters
+
+
+class Trainer:
+    def __init__(self, env_module, mdp: MDPSpec, cfg: HyperParameters,
+                 n_envs: int = 64, n_slots: Optional[int] = None,
+                 max_len: int = 512, run_dir: Optional[str] = None,
+                 algo_cls=VRacer):
+        cfg.check()
+        self.env = env_module
+        self.mdp = mdp
+        self.cfg = cfg
+        self.n_envs = n_envs
+        self.max_len = max_len
+        n_slots = n_slots or max(256, 2 * cfg.maxTotObsNum // max(
+            8, max_len // 8))
+        self.n_slots = n_slots
+        self.run_dir = run_dir
+        if run_dir:
+            os.makedirs(run_dir, exist_ok=True)
+            self._rew_file = open(
+                os.path.join(run_dir, "agent_00_rank00_cumulative_rewards.dat"),
+                "a")
+        else:
+            self._rew_file = None
+
+        self.algo = algo_cls(mdp, cfg)
+        key = jax.random.PRNGKey(cfg.randSeed)
+        key, k_init, k_env = jax.random.split(key, 3)
+        self.key = key
+        self.params, self.opt_state = self.algo.init(k_init)
+
+        self.rs = rb.init_replay(
+            n_slots, max_len, mdp.dim_state_observed, mdp.dim_action,
+            mdp.dim_policy, cfg.clipImpWeight)
+        ip = init_inprogress(n_envs, max_len, mdp.dim_state_observed,
+                             mdp.dim_action, mdp.dim_policy)
+        env_state = env_module.init(k_env, n_envs)
+        key, k_roll = jax.random.split(self.key)
+        self.key = key
+        self.carry = RolloutCarry(self.rs, ip, env_state, k_roll)
+
+        act_fn = self.algo.make_act_fn(train=cfg.bTrain)
+        chunk_fn = make_rollout_chunk(
+            env_module, mdp, act_fn, cfg.maxTotObsNum, cfg.gamma,
+            cfg.lambda_, self.algo.returns_mode, cfg.ERoldSeqFilter)
+        self._rollout = jax.jit(chunk_fn, static_argnums=2)
+
+        def train_chunk(params, opt_state, rs, key, n):
+            def body(c, k):
+                p, o, r = c
+                p, o, r, m = self.algo.train_step(p, o, r, k)
+                return (p, o, r), m
+
+            keys = jax.random.split(key, n)
+            (params, opt_state, rs), ms = jax.lax.scan(
+                body, (params, opt_state, rs), keys)
+            return params, opt_state, rs, ms
+
+        self._train_chunk = jax.jit(train_chunk, static_argnums=4)
+        self._refresh = jax.jit(self.algo.refresh)
+        self._init_stats = jax.jit(self.algo.initialize_stats)
+
+        # counters (ReplayStatsCounters analog; host side for pacing)
+        self.n_env_steps = 0          # nSeenTransitions_loc
+        self.n_grad_steps = 0
+        self.n_obs_b4_start = cfg.minTotObsNum  # nObsB4StartTraining
+        self._initialized = False
+        self._last_refresh = 0
+        self._last_log = 0
+        self._ep_returns = []         # recent completed-episode returns
+
+    # ------------------------------------------------------------------
+    @property
+    def replay(self) -> rb.ReplayState:
+        return self.carry.replay
+
+    def _roll(self, n_steps: int):
+        self.carry, logs = self._rollout(self.params, self.carry, n_steps)
+        self.n_env_steps += n_steps * self.n_envs
+        self._log_episodes(logs)
+
+    def _log_episodes(self, logs):
+        done, length, ret = logs
+        done = np.asarray(done)
+        if not done.any():
+            return
+        length = np.asarray(length)[done]
+        ret = np.asarray(ret)[done]
+        agent = np.nonzero(done)[1]
+        for a, l, r in zip(agent, length, ret):
+            self._ep_returns.append(float(r))
+            if self._rew_file:
+                # [grad-step, env-step, agentID, ep-length, return]
+                # byte-format of MemoryBuffer.cpp:491-513
+                self._rew_file.write(
+                    f"{self.n_grad_steps} {self.n_env_steps} {a} {l} {r}\n")
+        if len(self._ep_returns) > 1000:
+            self._ep_returns = self._ep_returns[-1000:]
+
+    # ------------------------------------------------------------------
+    def warmup(self, chunk: int = 64):
+        """Gather minTotObsNum observations before training
+        (stepInit task, RACER.cpp:69-77)."""
+        while int(self.replay.n_stored_steps()) < self.n_obs_b4_start:
+            self._roll(chunk)
+        self.carry = self.carry._replace(
+            replay=self._init_stats(self.carry.replay))
+        self._initialized = True
+
+    # ------------------------------------------------------------------
+    def _n_loc_train_steps(self) -> int:
+        return self.n_env_steps - self.n_obs_b4_start
+
+    def block_data(self) -> bool:
+        """Learner::blockDataAcquisition (Learner.cpp:102-113)."""
+        if int(self.replay.n_stored_steps()) < self.n_obs_b4_start:
+            return False
+        return (self._n_loc_train_steps()
+                > (self.n_grad_steps + 1) * self.cfg.obsPerStep)
+
+    def block_grads(self) -> bool:
+        """Learner::blockGradientUpdates (Learner.cpp:115-123)."""
+        return (self._n_loc_train_steps()
+                < self.n_grad_steps * self.cfg.obsPerStep)
+
+    # ------------------------------------------------------------------
+    def train(self, n_grad_steps: int, log_every: int = 1000,
+              max_wall_s: float = float("inf")):
+        """Run until n_grad_steps more gradient steps are done."""
+        if not self._initialized:
+            self.warmup()
+        target = self.n_grad_steps + n_grad_steps
+        t0 = time.time()
+        while self.n_grad_steps < target and time.time() - t0 < max_wall_s:
+            # how many grad steps are allowed by the pacing invariant
+            allowed = int(self._n_loc_train_steps() / self.cfg.obsPerStep
+                          ) - self.n_grad_steps
+            allowed = min(allowed, target - self.n_grad_steps)
+            # never jit a chunk crossing the 1000-step refresh boundary
+            to_refresh = 1000 - (self.n_grad_steps % 1000)
+            n_tr = max(0, min(allowed, to_refresh, 200))
+            if n_tr > 0:
+                self.key, k = jax.random.split(self.key)
+                rs = self.carry.replay
+                self.params, self.opt_state, rs, metrics = \
+                    self._train_chunk(self.params, self.opt_state, rs, k,
+                                      n_tr)
+                self.carry = self.carry._replace(replay=rs)
+                self.n_grad_steps += n_tr
+                self._last_metrics = metrics
+                if self.n_grad_steps % 1000 == 0:
+                    self.carry = self.carry._replace(
+                        replay=self._refresh(self.carry.replay,
+                                             float(self.n_grad_steps)))
+            if not self.block_data():
+                # enough sweeps to allow ~200 more grad steps
+                need = max(1, int(np.ceil(
+                    200 * self.cfg.obsPerStep / self.n_envs)))
+                self._roll(min(need, 64))
+            if (self.n_grad_steps - self._last_log) >= log_every:
+                self._last_log = self.n_grad_steps
+                self.log_status()
+
+    # ------------------------------------------------------------------
+    def log_status(self):
+        rs = self.replay
+        avg_r = (np.mean(self._ep_returns[-100:])
+                 if self._ep_returns else float("nan"))
+        m = getattr(self, "_last_metrics", {})
+        get = lambda k: float(np.asarray(m[k])[-1]) if k in m else float("nan")
+        print(f"step {self.n_grad_steps:>8d} | envstep {self.n_env_steps:>9d}"
+              f" | avgR {avg_r:8.2f} | beta {float(rs.beta):.3f}"
+              f" | dkl {get('avg_dkl'):.4f} | rmse {get('rmse'):.3f}"
+              f" | nEp {int(rs.n_stored_eps())}"
+              f" | nObs {int(rs.n_stored_steps())}", flush=True)
+
+    # ------------------------------------------------------------------
+    def evaluate(self, n_episodes: int = 10, max_steps: int = 1000):
+        """Deterministic-policy evaluation episodes (bTrain=0 serving path,
+        Worker.cpp:91-111 isOverTesting)."""
+        act = jax.jit(lambda p, o, k: self.algo.make_act_fn(False)(p, o, k))
+        self.key, k_env = jax.random.split(self.key)
+        es = self.env.init(k_env, n_episodes)
+        done = np.zeros(n_episodes, bool)
+        rets = np.zeros(n_episodes)
+        rs = self.replay
+        for _ in range(max_steps):
+            obs = self.mdp.observed(self.env.observe(es))
+            obs_std = (obs - rs.state_mean) * rs.state_scale
+            self.key, k = jax.random.split(self.key)
+            a, _, _, _ = act(self.params, obs_std, k)
+            es, r, d, _ = self.env.step(es, self.mdp.learner_to_env_action(a))
+            rets += np.asarray(r) * (~done)
+            done |= np.asarray(d)
+            if done.all():
+                break
+        return rets
+
+    # ------------------------------------------------------------------
+    def save(self, path: str):
+        """Checkpoint params/opt/replay/counters — includes the full replay
+        buffer like the reference (MemoryBuffer.cpp:172-324)."""
+        state = {
+            "params": jax.device_get(self.params),
+            "opt_state": jax.device_get(self.opt_state),
+            "replay": jax.device_get(self.carry.replay),
+            "inprog": jax.device_get(self.carry.inprog),
+            "env_state": jax.device_get(self.carry.env_state),
+            "key": jax.device_get(self.carry.key),
+            "host_key": jax.device_get(self.key),
+            "n_env_steps": self.n_env_steps,
+            "n_grad_steps": self.n_grad_steps,
+            "initialized": self._initialized,
+            "cfg": self.cfg.to_dict(),
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f)
+        os.replace(tmp, path)  # write-then-rename atomicity
+
+    def restore(self, path: str):
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.params = jax.device_put(state["params"])
+        self.opt_state = jax.tree_util.tree_map(
+            jnp.asarray, state["opt_state"])
+        self.carry = RolloutCarry(
+            jax.tree_util.tree_map(jnp.asarray, state["replay"]),
+            jax.tree_util.tree_map(jnp.asarray, state["inprog"]),
+            jax.tree_util.tree_map(jnp.asarray, state["env_state"]),
+            jnp.asarray(state["key"]))
+        self.key = jnp.asarray(state["host_key"])
+        self.n_env_steps = state["n_env_steps"]
+        self.n_grad_steps = state["n_grad_steps"]
+        self._initialized = state["initialized"]
