@@ -1,0 +1,117 @@
+"""Common learner machinery shared by all algorithms.
+
+Factorization of what the reference spreads across Learner /
+Learner_approximator / MiniBatch (source/smarties/Learners/Learner*.cpp,
+ReplayMemory/MiniBatch.h): minibatch gather, per-step replay write-backs,
+and the per-grad-step ReF-ER/annealing bookkeeping.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from smarties_tpu.replay import buffer as rb
+
+F32 = jnp.float32
+
+
+class MiniBatch(NamedTuple):
+    """Gathered view of B sampled transitions (MiniBatch.h:60-123)."""
+    ep: jnp.ndarray          # [B] episode slot
+    t: jnp.ndarray           # [B] time index
+    s_t: jnp.ndarray         # [B, dimS] standardized state
+    s_t1: jnp.ndarray        # [B, dimS] standardized next state
+    action: jnp.ndarray      # [B, dimA]
+    mu: jnp.ndarray          # [B, dimPol]
+    qret: jnp.ndarray        # [B] stored return estimate
+    reward_next: jnp.ndarray  # [B] scaled reward r_{t+1}
+    is_last: jnp.ndarray     # [B] t+1 == T
+    terminal_next: jnp.ndarray   # [B] t+1 is a true terminal state
+    truncated_next: jnp.ndarray  # [B] t+1 is a truncation point
+    per_w: jnp.ndarray       # [B] PER importance weight (1 for uniform)
+
+
+def gather_minibatch(rs: rb.ReplayState, ep, t,
+                     per_w: Optional[jnp.ndarray] = None) -> MiniBatch:
+    s_t = (rs.states[ep, t] - rs.state_mean) * rs.state_scale
+    t1 = jnp.minimum(t + 1, rs.max_len)
+    s_t1 = (rs.states[ep, t1] - rs.state_mean) * rs.state_scale
+    length = rs.length[ep]
+    is_last = (t + 1) == length
+    terminal_next = is_last & rs.terminal[ep]
+    truncated_next = is_last & (~rs.terminal[ep])
+    r_next = (rs.rewards[ep, t1] - rs.rew_mean) * rs.rew_scale
+    if per_w is None:
+        per_w = jnp.ones(ep.shape, F32)
+    return MiniBatch(ep=ep, t=t, s_t=s_t, s_t1=s_t1,
+                     action=rs.actions[ep, t], mu=rs.mus[ep, t],
+                     qret=rs.qret[ep, t], reward_next=r_next,
+                     is_last=is_last, terminal_next=terminal_next,
+                     truncated_next=truncated_next, per_w=per_w)
+
+
+def write_back(rs: rb.ReplayState, mb: MiniBatch, rho, dkl, delta,
+               value, advantage) -> rb.ReplayState:
+    """MiniBatch::setMseDklImpw + setValues (MiniBatch.h:161-188)."""
+    ep, t = mb.ep, mb.t
+    return rs._replace(
+        rho=rs.rho.at[ep, t].set(rho),
+        kl=rs.kl.at[ep, t].set(dkl),
+        delta=rs.delta.at[ep, t].set(delta),
+        value=rs.value.at[ep, t].set(value),
+        advantage=rs.advantage.at[ep, t].set(advantage),
+    )
+
+
+def write_next_value(rs: rb.ReplayState, mb: MiniBatch,
+                     v_next) -> rb.ReplayState:
+    """Refresh V(s_T) for sampled pre-truncation steps
+    (MB.setValues(bID, t+1, vNext), e.g. RACER_train.cpp:23-27)."""
+    t1 = jnp.where(mb.truncated_next, mb.t + 1, rs.max_len + 1)
+    return rs._replace(value=rs.value.at[mb.ep, t1].set(
+        jnp.where(mb.truncated_next, v_next, 0.0), mode="drop"))
+
+
+def post_step_processing(rs: rb.ReplayState, cfg, opt_step, delta_q,
+                         axis_name=None) -> tuple:
+    """Per-grad-step memory processing (Learner::processMemoryBuffer,
+    Learner.cpp:74-100): anneal CmaxRet, ReF-ER beta fixed point,
+    maxAbsError EMA. Returns (rs, frac_off_policy)."""
+    n_step = opt_step.astype(F32)
+    rs = rb.update_cmax(rs, n_step, cfg.clipImpWeight, cfg.epsAnneal)
+    rs, frac_off = rb.update_beta_alpha(rs, cfg.batchSize, cfg.maxTotObsNum,
+                                        cfg.penalTol, axis_name)
+    n_stored = rs.n_stored_steps().astype(F32)
+    batch_max_err = jnp.max(jnp.abs(delta_q))
+    if axis_name is not None:
+        n_stored = jax.lax.psum(n_stored, axis_name)
+        batch_max_err = jax.lax.pmax(batch_max_err, axis_name)
+    learn_r = 0.1 * cfg.batchSize / jnp.maximum(
+        jnp.float32(cfg.maxTotObsNum), n_stored)
+    rs = rs._replace(max_abs_error=rs.max_abs_error + learn_r *
+                     (batch_max_err - rs.max_abs_error))
+    return rs, frac_off
+
+
+def refer_mix(grad, penal_grad, beta):
+    """beta * grad + (1 - beta) * penal_grad
+    (Utilities::penalizeReFER, FunctionUtilities.h:221-228)."""
+    return beta * grad + (1 - beta) * penal_grad
+
+
+def default_metrics(dkl, rho, is_far, frac_off, beta, delta_q, v_val,
+                    axis_name=None):
+    pmean = (partial(jax.lax.pmean, axis_name=axis_name)
+             if axis_name is not None else (lambda x: x))
+    return {
+        "avg_dkl": pmean(jnp.mean(dkl)),
+        "avg_rho": pmean(jnp.mean(rho)),
+        "frac_far_batch": pmean(jnp.mean(is_far.astype(F32))),
+        "frac_far_data": frac_off,
+        "beta": beta,
+        "rmse": jnp.sqrt(pmean(jnp.mean(delta_q * delta_q))),
+        "avg_v": pmean(jnp.mean(v_val)),
+    }

@@ -1,0 +1,173 @@
+"""DQN with Boltzmann (soft) policy and optional ReF-ER + Retrace.
+
+TPU-native re-expression of the reference DQN (source/smarties/Learners/
+DQN.cpp, compiled with DQN_USE_POLICY): the Q-network doubles as an
+Exp-normalized categorical policy (Discrete_policy_t<Exp> over raw Q values)
+enabling importance weights and ReF-ER; 1-step double-Q targets with a
+Polyak/periodic target network (DQN.cpp:173-185), or Retrace targets when
+returnsEstimator != none (DQN.cpp:161-171).
+
+Deviation from the reference, deliberate: the reference's 1-step target
+uses MB.reward(bID, t) == r_t, the reward of the PREVIOUS transition
+(DQN.cpp:174 with MemoryBuffer.cpp:420 indexing) — an off-by-one; here the
+target uses r_{t+1}, the reward of the transition being learned.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smarties_tpu.algos.base import (default_metrics, gather_minibatch,
+                                     post_step_processing, write_back,
+                                     write_next_value)
+from smarties_tpu.core.mdp import MDPSpec
+from smarties_tpu.models.net import NetSpec, apply_net, init_params
+from smarties_tpu.models.optim import (AdamConfig, AdamState, adam_init,
+                                       adam_step, update_target)
+from smarties_tpu.ops import discrete_policy as dpol
+from smarties_tpu.replay import buffer as rb
+from smarties_tpu.utils.config import HyperParameters
+
+F32 = jnp.float32
+
+
+def _soft_expected_value(q_hat, q_tilde):
+    """E_{pol(q_hat)}[q_tilde] with pol = Exp-normalized policy over q_hat
+    (expectedValue, DQN.cpp:16-30)."""
+    _, _, probs = dpol.probs_of(q_hat, fn="exp")
+    return jnp.sum(probs * q_tilde, axis=-1)
+
+
+class DQN:
+    def __init__(self, mdp: MDPSpec, cfg: HyperParameters):
+        assert mdp.is_discrete, "DQN requires discrete actions"
+        self.mdp = mdp
+        self.cfg = cfg
+        self.n_opts = mdp.max_action_label
+        self.spec = NetSpec(
+            n_in=mdp.dim_net_input, hidden=tuple(cfg.nnLayerSizes),
+            n_out=self.n_opts, kind=cfg.nnType, act=cfg.nnFunc,
+            out_prefac=cfg.outWeightsPrefac)
+        self.adam_cfg = AdamConfig(eta=cfg.learnrate, lambda_=cfg.nnLambda,
+                                   eps_anneal=cfg.epsAnneal)
+        # factory default returns estimator for DQN is "none"
+        # (AlgoFactory.cpp DQN branch)
+        self.returns_mode = ("none" if cfg.returnsEstimator == "default"
+                             else cfg.returnsEstimator)
+        self.use_retrace = self.returns_mode != "none"
+        self.use_target = cfg.targetDelay > 0
+
+    # ------------------------------------------------------------------
+    def init(self, key):
+        net = init_params(key, self.spec)
+        params = {"net": net,
+                  "tgt": jax.tree_util.tree_map(jnp.copy, net)}
+        return params, adam_init(net)
+
+    # ------------------------------------------------------------------
+    def make_act_fn(self, train: bool = True):
+        spec = self.spec
+        sample = train and self.cfg.explNoise > 0
+
+        def act(params, obs_std, key):
+            qs, _ = apply_net(params["net"], spec, obs_std)
+            _, _, probs = dpol.probs_of(qs, fn="exp")
+            opt = dpol.select(key, probs, sample)
+            q_a = jnp.take_along_axis(qs, opt[..., None], axis=-1)[..., 0]
+            value = _soft_expected_value(qs, qs)
+            # appendValues(E[Q], Q[a]) => advantage = Q[a] - E[Q]
+            return (opt[..., None].astype(F32), probs, value, q_a - value)
+
+        return act
+
+    # ------------------------------------------------------------------
+    def train_step(self, params, opt_state: AdamState, rs: rb.ReplayState,
+                   key, axis_name=None):
+        """DQN::Train (DQN.cpp:150-211) as one XLA program."""
+        cfg = self.cfg
+        n_shards = (jax.lax.psum(1, axis_name) if axis_name is not None
+                    else 1)
+        B = cfg.batchSize // n_shards if axis_name is not None \
+            else cfg.batchSize
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        k_samp, = jax.random.split(key, 1)
+        ep, t = rb.sample_uniform(k_samp, rs, B)
+        mb = gather_minibatch(rs, ep, t)
+        opt = mb.action[..., 0].astype(jnp.int32)
+
+        spec = self.spec
+
+        def fwd(p, x):
+            out, _ = apply_net(p, spec, x)
+            return out
+
+        qs, vjp_fn = jax.vjp(lambda p: fwd(p, mb.s_t), params["net"])
+        q_a = jnp.take_along_axis(qs, opt[:, None], axis=-1)[..., 0]
+
+        q_hat_next = fwd(params["net"], mb.s_t1)
+        if self.use_retrace:
+            td_error = mb.qret - q_a
+            v_next = _soft_expected_value(q_hat_next, q_hat_next)
+        else:
+            q_tilde_next = (fwd(params["tgt"], mb.s_t1) if self.use_target
+                            else q_hat_next)
+            # double-Q: select with online net, evaluate with target
+            boot = _soft_expected_value(q_hat_next, q_tilde_next)
+            target = mb.reward_next + jnp.where(
+                mb.terminal_next, 0.0, cfg.gamma * boot)
+            td_error = target - q_a
+            v_next = _soft_expected_value(q_hat_next, q_hat_next)
+
+        g = jax.nn.one_hot(opt, self.n_opts, dtype=F32) * td_error[:, None]
+
+        # ReF-ER on the Boltzmann policy (DQN.cpp:192-204)
+        un, norm, probs = dpol.probs_of(qs, fn="exp")
+        rho = dpol.imp_weight(opt, probs, mb.mu)
+        dkl = dpol.kl_mu_pi(mb.mu, probs)
+        if cfg.clipImpWeight > 0:
+            is_far = rb.is_far_policy(rho, rs.cmax_ret, rs.cinv_ret)
+            g = jnp.where(is_far[:, None], 0.0, g)
+            pen_g = dpol.kl_grad(mb.mu, qs, un, norm, probs,
+                                 -jnp.ones_like(rho), fn="exp")
+            g = rs.beta * g + (1 - rs.beta) * pen_g
+        else:
+            is_far = jnp.zeros_like(rho, bool)
+
+        grads = vjp_fn(g)[0]
+        if axis_name is not None:
+            grads = jax.lax.psum(grads, axis_name)
+        new_net, new_opt = adam_step(params["net"], grads, opt_state,
+                                     self.adam_cfg, 1.0 / cfg.batchSize)
+        new_tgt = update_target(new_net, params["tgt"], cfg.targetDelay,
+                                new_opt.step)
+        new_params = {"net": new_net, "tgt": new_tgt}
+
+        v_val = _soft_expected_value(qs, qs)
+        rs = write_back(rs, mb, rho, dkl, td_error, v_val, q_a - v_val)
+        rs = write_next_value(rs, mb, v_next)
+        rs, frac_off = post_step_processing(rs, cfg, new_opt.step, td_error,
+                                            axis_name)
+        metrics = default_metrics(dkl, rho, is_far, frac_off, rs.beta,
+                                  td_error, v_val, axis_name)
+        return new_params, new_opt, rs, metrics
+
+    # ------------------------------------------------------------------
+    def refresh(self, rs: rb.ReplayState, n_grad_steps, axis_name=None):
+        from smarties_tpu.utils.config import anneal_rate
+        cfg = self.cfg
+        rs = rb.recompute_returns(rs, cfg.gamma, cfg.lambda_,
+                                  self.returns_mode)
+        lr = anneal_rate(cfg.learnrate, n_grad_steps, cfg.epsAnneal)
+        rs = rb.update_state_rew_stats(rs, 10.0 * lr, axis_name=axis_name)
+        return rs
+
+    def initialize_stats(self, rs: rb.ReplayState, axis_name=None):
+        rs = rb.update_state_rew_stats(rs, 1.0, b_init=True,
+                                       axis_name=axis_name)
+        rs = rb.recompute_returns(rs, self.cfg.gamma, self.cfg.lambda_,
+                                  self.returns_mode)
+        return rs

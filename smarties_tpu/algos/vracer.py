@@ -22,6 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from smarties_tpu.algos.base import (default_metrics, gather_minibatch,
+                                     post_step_processing, write_back,
+                                     write_next_value)
 from smarties_tpu.core.mdp import MDPSpec
 from smarties_tpu.models.net import NetSpec, apply_net, init_params
 from smarties_tpu.models.optim import (AdamConfig, AdamState, adam_init,
@@ -113,23 +116,30 @@ class VRacer:
 
     # ------------------------------------------------------------------
     def train_step(self, params, opt_state: AdamState, rs: rb.ReplayState,
-                   key):
+                   key, axis_name=None):
         """One gradient step (RACER_train.cpp:14-67 as one XLA program).
+
+        When axis_name is given, the function runs inside shard_map over a
+        learner mesh axis: each shard samples batchSize/n_shards transitions
+        from ITS replay shard, gradients are psum'd before Adam (the
+        reference's MPI_Iallreduce across learners_train_comm,
+        Optimizer.cpp:110-119), and ReF-ER counters are globally reduced
+        (HyperParameters::defineDistributedLearning semantics).
 
         Returns (params, opt_state, rs, metrics).
         """
         cfg, mdp = self.cfg, self.mdp
-        B = cfg.batchSize
+        n_shards = (jax.lax.psum(1, axis_name) if axis_name is not None
+                    else 1)
+        B = cfg.batchSize // n_shards if axis_name is not None \
+            else cfg.batchSize
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k_samp, = jax.random.split(key, 1)
 
         ep, t = rb.sample_uniform(k_samp, rs, B)
-        s_t = (rs.states[ep, t] - rs.state_mean) * rs.state_scale
-        a_t = rs.actions[ep, t]
-        mu_t = rs.mus[ep, t]
-        qret_t = rs.qret[ep, t]
-        length = rs.length[ep]
-        is_last = (t + 1) == length
-        truncated_next = is_last & (~rs.terminal[ep])
+        mb = gather_minibatch(rs, ep, t)
+        s_t, a_t, mu_t, qret_t = mb.s_t, mb.action, mb.mu, mb.qret
 
         spec = self.spec
 
@@ -183,51 +193,31 @@ class VRacer:
                 beta * pg_s + (1 - beta) * pn_s], axis=-1)
 
         grads = vjp_fn(g)[0]
+        if axis_name is not None:
+            # sum gradients across learner shards before the (replicated)
+            # Adam update — MPI_Iallreduce analog (Optimizer.cpp:110-119);
+            # the grad factor divides by the GLOBAL batch (Optimizer.h:48).
+            grads = jax.lax.psum(grads, axis_name)
         new_params, new_opt = adam_step(params, grads, opt_state,
-                                        self.adam_cfg, 1.0 / B)
+                                        self.adam_cfg, 1.0 / cfg.batchSize)
 
         # ---- write-backs (MiniBatch::setMseDklImpw / setValues) ----
-        rs = rs._replace(
-            rho=rs.rho.at[ep, t].set(rho),
-            kl=rs.kl.at[ep, t].set(dkl),
-            delta=rs.delta.at[ep, t].set(delta_q),
-            value=rs.value.at[ep, t].set(v_val),
-        )
+        rs = write_back(rs, mb, rho, dkl, delta_q, v_val,
+                        jnp.zeros_like(v_val))
         # refresh V(s_T) when the sampled step precedes a truncation
         # (RACER_train.cpp:22-27): forward the next state, no gradient
-        s_t1 = (rs.states[ep, jnp.minimum(t + 1, rs.max_len)]
-                - rs.state_mean) * rs.state_scale
-        out_next = fwd(params, s_t1)
+        out_next = fwd(params, mb.s_t1)
         v_next = scale_net2v(out_next[..., 0])
-        t1 = jnp.where(truncated_next, t + 1, rs.max_len + 1)
-        rs = rs._replace(value=rs.value.at[ep, t1].set(
-            jnp.where(truncated_next, v_next, 0.0), mode="drop"))
+        rs = write_next_value(rs, mb, v_next)
 
-        # ---- per-step memory processing (processMemoryBuffer) ----
-        n_step = new_opt.step.astype(F32)
-        rs = rb.update_cmax(rs, n_step, cfg.clipImpWeight, cfg.epsAnneal)
-        rs, frac_off = rb.update_beta_alpha(rs, B, cfg.maxTotObsNum,
-                                            cfg.penalTol)
-        # stats.maxAbsError EMA (updateTrainingStatistics, MP.cpp:239-241)
-        learn_r = 0.1 * B / jnp.maximum(
-            jnp.float32(cfg.maxTotObsNum), rs.n_stored_steps().astype(F32))
-        batch_max_err = jnp.max(jnp.abs(delta_q))
-        rs = rs._replace(max_abs_error=rs.max_abs_error + learn_r *
-                         (batch_max_err - rs.max_abs_error))
-
-        metrics = {
-            "avg_dkl": jnp.mean(dkl),
-            "avg_rho": jnp.mean(rho),
-            "frac_far_batch": jnp.mean(is_far.astype(F32)),
-            "frac_far_data": frac_off,
-            "beta": rs.beta,
-            "rmse": jnp.sqrt(jnp.mean(delta_q * delta_q)),
-            "avg_v": jnp.mean(v_val),
-        }
+        rs, frac_off = post_step_processing(rs, cfg, new_opt.step, delta_q,
+                                            axis_name)
+        metrics = default_metrics(dkl, rho, is_far, frac_off, rs.beta,
+                                  delta_q, v_val, axis_name)
         return new_params, new_opt, rs, metrics
 
     # ------------------------------------------------------------------
-    def refresh(self, rs: rb.ReplayState, n_grad_steps):
+    def refresh(self, rs: rb.ReplayState, n_grad_steps, axis_name=None):
         """Every-1000-steps sweep (updateTrainingStatistics recompute branch
         + updateRewardsStats(.., rRateFac=10), Learner.cpp:74-100).
 
@@ -237,15 +227,16 @@ class VRacer:
         rs = rb.recompute_returns(rs, cfg.gamma, cfg.lambda_,
                                   self.returns_mode)
         lr = anneal_rate(cfg.learnrate, n_grad_steps, cfg.epsAnneal)
-        rs = rb.update_state_rew_stats(rs, 10.0 * lr)
+        rs = rb.update_state_rew_stats(rs, 10.0 * lr, axis_name=axis_name)
         return rs
 
     # ------------------------------------------------------------------
-    def initialize_stats(self, rs: rb.ReplayState):
+    def initialize_stats(self, rs: rb.ReplayState, axis_name=None):
         """At training start: exact state/reward stats from gathered data,
         then rescale all return estimators (Learner::initializeLearner,
         Learner.cpp:47-72)."""
-        rs = rb.update_state_rew_stats(rs, 1.0, b_init=True)
+        rs = rb.update_state_rew_stats(rs, 1.0, b_init=True,
+                                       axis_name=axis_name)
         rs = rb.recompute_returns(rs, self.cfg.gamma, self.cfg.lambda_,
                                   self.returns_mode)
         return rs

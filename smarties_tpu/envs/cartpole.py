@@ -100,3 +100,23 @@ def reset_where(state: CartPoleState, mask: jnp.ndarray,
     u = jnp.where(mask[:, None], u_new, state.u)
     stp = jnp.where(mask, 0, state.step)
     return CartPoleState(u=u, step=stp)
+
+
+class discrete:
+    """Discrete-action variant: force in {-10, +10} selected by label —
+    the classic bang-bang cart-pole used to exercise the discrete learners
+    (RACER-discrete / DQN), analog of running the cart-pole app with a
+    discretized action space (Communicator::setActionOptions)."""
+
+    MDP = MDPSpec(dim_state=6, dim_action=1, discrete_values=(2,),
+                  observable=(True, True, False, True, True, True))
+    MAX_STEPS = MAX_STEPS
+
+    init = staticmethod(init)
+    observe = staticmethod(observe)
+    reset_where = staticmethod(reset_where)
+
+    @staticmethod
+    def step(state, env_action):
+        force = (env_action[..., 0] * 2.0 - 1.0) * 10.0  # label {0,1}->{-10,10}
+        return step(state, force[..., None])

@@ -49,6 +49,48 @@ def episode_return_estimate(r_scaled, value, advantage, rho, length,
     L = r_scaled.shape[0] - 1
     bootstrap = jnp.where(terminal, 0.0, value[length])
 
+    if mode in ("retrace", "GAE"):
+        # The recursion is affine in Qret[t+1]:
+        #   Qret[t] = a_t + b_t * Qret[t+1]
+        # with (retrace)  a_t = rr[t+1] + g*(V[t+1] - lam*c[t+1]*(A+V)[t+1]),
+        #                 b_t = g*lam*c[t+1]
+        #      (GAE)      a_t = rr[t+1] + g*(1-lam)*V[t+1],  b_t = g*lam.
+        # Affine maps compose associatively, so the whole backward sweep is
+        # a log-depth suffix composition (associative_scan reverse=True)
+        # instead of an O(L) sequential scan — the latency-critical path at
+        # episode commit time (rollout hot loop).
+        idx = jnp.arange(L + 1)
+        if mode == "GAE":
+            a = r_scaled + gamma * (1 - lam) * value
+            b = jnp.full((L + 1,), gamma * lam, r_scaled.dtype)
+        else:
+            c_w = jnp.minimum(rho, 1.0)
+            a = r_scaled + gamma * (value - lam * c_w * (advantage + value))
+            b = gamma * lam * c_w
+        # element t holds the map for Qret[t-1] -> uses entries at t; shift
+        # so elem_t maps Qret[t] from Qret[t+1]:
+        a = jnp.roll(a, -1)
+        b = jnp.roll(b, -1)
+        # boundary & masking: at t == length the map is (bootstrap, 0);
+        # beyond the episode it is (0, 0)
+        a = jnp.where(idx < length, a, jnp.where(idx == length,
+                                                 bootstrap, 0.0))
+        b = jnp.where(idx < length, b, 0.0)
+
+        # flip so the suffix composition becomes a prefix scan; the operator
+        # composes the NEWER (higher-t, i.e. inner) map on the right:
+        # out_k = g_k o out_{k-1} with g_k = f_{L-k}
+        af, bf = jnp.flip(a), jnp.flip(b)
+
+        def compose(left, right):
+            a_l, b_l = left
+            a_r, b_r = right
+            return a_r + b_r * a_l, b_r * b_l
+
+        qf, _ = jax.lax.associative_scan(compose, (af, bf))
+        qret = jnp.flip(qf)
+        return jnp.where(idx <= length, qret, 0.0)
+
     def body(carry, t):
         # value at t+1 of the recursion; at the episode tail use bootstrap
         q_tp1 = jnp.where(t + 1 == length, bootstrap, carry)

@@ -304,18 +304,26 @@ def sample_per_rank(key, rs: ReplayState, batch: int, beta_annealed):
 # ---------------------------------------------------------------------------
 
 def update_beta_alpha(rs: ReplayState, batch_size: int, max_tot_obs: int,
-                      penal_tol: float):
+                      penal_tol: float, axis_name=None):
     """beta/alpha fixed-point iteration.
 
     Reference: MemoryProcessing::updateCounters (MemoryProcessing.cpp:46-92):
     learnRefer = 0.1 * B / max(maxN, nData);
     beta -> 0 if fracOffPol > D else -> 1.
     The reference uses one-step-stale global counts (DelayedReductor) to hide
-    MPI latency; on TPU the exact count is a single masked reduction, so the
-    current value is used (same fixed point, no latency to hide).
+    MPI latency; on TPU the exact count is a single masked reduction (psum
+    across learner shards when axis_name is given — the MPI_Iallreduce of
+    the reference, MemoryProcessing.cpp:56-58), so the current value is used
+    (same fixed point, no latency to hide).
+
+    batch_size and max_tot_obs are GLOBAL totals (the reference uses the
+    global settings values here, HyperParameters pre-split).
     """
     n_data = rs.n_stored_steps()
     n_far = n_far_policy_steps(rs)
+    if axis_name is not None:
+        n_data = jax.lax.psum(n_data, axis_name)
+        n_far = jax.lax.psum(n_far, axis_name)
     frac_off = n_far.astype(F32) / jnp.maximum(n_data.astype(F32), 1.0)
     learn_r = 0.1 * batch_size / jnp.maximum(
         jnp.float32(max_tot_obs), n_data.astype(F32))
@@ -344,7 +352,7 @@ def update_cmax(rs: ReplayState, n_grad_steps, clip_imp_weight: float,
 # ---------------------------------------------------------------------------
 
 def update_state_rew_stats(rs: ReplayState, learn_rate, b_init: bool = False,
-                           adapt_state_scale: bool = True):
+                           adapt_state_scale: bool = True, axis_name=None):
     """Annealed running mean/std of stored states and rewards.
 
     Reference: MemoryProcessing::updateRewardsStats
@@ -359,14 +367,19 @@ def update_state_rew_stats(rs: ReplayState, learn_rate, b_init: bool = False,
                                                      learn_rate)
     ws = wr if adapt_state_scale else jnp.float32(0.0)
 
+    def _gsum(x):
+        """Cross-shard sum (reference: StateRewRdx DelayedReductor allreduce,
+        MemoryProcessing.cpp:139-150)."""
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
     # rewards: entries t in [1, T]
     t = jnp.arange(rs.rewards.shape[1])
     rmask = ((t[None, :] >= 1) & (t[None, :] <= rs.length[:, None])
              & rs.valid_slots()[:, None]).astype(F32)
-    count = jnp.maximum(jnp.sum(rmask), 1.0)
+    count = jnp.maximum(_gsum(jnp.sum(rmask)), 1.0)
     dr = (rs.rewards - rs.rew_mean) * rmask
-    evar_r = jnp.sum(dr) / count
-    evar2_r = jnp.sum(dr * dr) / count
+    evar_r = _gsum(jnp.sum(dr)) / count
+    evar2_r = _gsum(jnp.sum(dr * dr)) / count
 
     def upd(mean, std, lr, evar, evar2):
         new_mean = mean + lr * evar
@@ -382,10 +395,10 @@ def update_state_rew_stats(rs: ReplayState, learn_rate, b_init: bool = False,
 
     smask = ((t[None, :] <= rs.length[:, None])
              & rs.valid_slots()[:, None]).astype(F32)[..., None]
-    scount = jnp.maximum(jnp.sum(smask), 1.0)
+    scount = jnp.maximum(_gsum(jnp.sum(smask)), 1.0)
     ds = (rs.states - rs.state_mean) * smask
-    evar_s = jnp.sum(ds, axis=(0, 1)) / scount
-    evar2_s = jnp.sum(ds * ds, axis=(0, 1)) / scount
+    evar_s = _gsum(jnp.sum(ds, axis=(0, 1))) / scount
+    evar2_s = _gsum(jnp.sum(ds * ds, axis=(0, 1))) / scount
     smean, sstd, sscale = upd(rs.state_mean, rs.state_std, ws,
                               evar_s, evar2_s)
 

@@ -33,8 +33,14 @@ class Trainer:
     def __init__(self, env_module, mdp: MDPSpec, cfg: HyperParameters,
                  n_envs: int = 64, n_slots: Optional[int] = None,
                  max_len: int = 512, run_dir: Optional[str] = None,
-                 algo_cls=VRacer):
+                 algo_cls=VRacer, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a "learners" axis — shards
+        the replay (slot axis) and envs (lane axis) across devices with
+        psum'd gradients, the analog of the reference's --nLearners K MPI
+        topology (SURVEY.md section 2.9 P2/P3). n_envs and n_slots must be
+        divisible by the mesh size."""
         cfg.check()
+        self.mesh = mesh
         self.env = env_module
         self.mdp = mdp
         self.cfg = cfg
@@ -69,25 +75,41 @@ class Trainer:
         self.carry = RolloutCarry(self.rs, ip, env_state, k_roll)
 
         act_fn = self.algo.make_act_fn(train=cfg.bTrain)
+        # per-shard capacity: the reference splits maxTotObsNum across
+        # learner ranks (HyperParameters::defineDistributedLearning)
+        n_shards = mesh.devices.size if mesh is not None else 1
+        assert n_envs % n_shards == 0 and n_slots % n_shards == 0
         chunk_fn = make_rollout_chunk(
-            env_module, mdp, act_fn, cfg.maxTotObsNum, cfg.gamma,
-            cfg.lambda_, self.algo.returns_mode, cfg.ERoldSeqFilter)
-        self._rollout = jax.jit(chunk_fn, static_argnums=2)
+            env_module, mdp, act_fn, cfg.maxTotObsNum // n_shards,
+            cfg.gamma, cfg.lambda_, self.algo.returns_mode,
+            cfg.ERoldSeqFilter)
 
-        def train_chunk(params, opt_state, rs, key, n):
-            def body(c, k):
-                p, o, r = c
-                p, o, r, m = self.algo.train_step(p, o, r, k)
-                return (p, o, r), m
+        if mesh is None:
+            self._rollout = jax.jit(chunk_fn, static_argnums=2)
 
-            keys = jax.random.split(key, n)
-            (params, opt_state, rs), ms = jax.lax.scan(
-                body, (params, opt_state, rs), keys)
-            return params, opt_state, rs, ms
+            def train_chunk(params, opt_state, rs, key, n):
+                def body(c, k):
+                    p, o, r = c
+                    p, o, r, m = self.algo.train_step(p, o, r, k)
+                    return (p, o, r), m
 
-        self._train_chunk = jax.jit(train_chunk, static_argnums=4)
-        self._refresh = jax.jit(self.algo.refresh)
-        self._init_stats = jax.jit(self.algo.initialize_stats)
+                keys = jax.random.split(key, n)
+                (params, opt_state, rs), ms = jax.lax.scan(
+                    body, (params, opt_state, rs), keys)
+                return params, opt_state, rs, ms
+
+            self._train_chunk = jax.jit(train_chunk, static_argnums=4)
+            self._refresh = jax.jit(self.algo.refresh)
+            self._init_stats = jax.jit(self.algo.initialize_stats)
+        else:
+            from smarties_tpu.parallel.mesh import (make_sharded_fns,
+                                                    shard_carry)
+            self.carry = shard_carry(mesh, self.carry)
+            (self._train_sharded, self._rollout, self._refresh,
+             self._init_stats) = make_sharded_fns(
+                self.algo, chunk_fn, self.carry.replay, self.carry, mesh)
+            self.key, k_tr = jax.random.split(self.key)
+            self._train_keys = jax.random.split(k_tr, n_shards)
 
         # counters (ReplayStatsCounters analog; host side for pacing)
         self.n_env_steps = 0          # nSeenTransitions_loc
@@ -169,11 +191,17 @@ class Trainer:
             to_refresh = 1000 - (self.n_grad_steps % 1000)
             n_tr = max(0, min(allowed, to_refresh, 200))
             if n_tr > 0:
-                self.key, k = jax.random.split(self.key)
                 rs = self.carry.replay
-                self.params, self.opt_state, rs, metrics = \
-                    self._train_chunk(self.params, self.opt_state, rs, k,
-                                      n_tr)
+                if self.mesh is None:
+                    self.key, k = jax.random.split(self.key)
+                    self.params, self.opt_state, rs, metrics = \
+                        self._train_chunk(self.params, self.opt_state, rs,
+                                          k, n_tr)
+                else:
+                    (self.params, self.opt_state, rs, metrics,
+                     self._train_keys) = self._train_sharded(
+                        self.params, self.opt_state, rs, self._train_keys,
+                        n_tr)
                 self.carry = self.carry._replace(replay=rs)
                 self.n_grad_steps += n_tr
                 self._last_metrics = metrics
