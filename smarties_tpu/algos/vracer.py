@@ -1,22 +1,28 @@
-"""V-RACER: off-policy policy gradient with ReF-ER and Retrace targets.
+"""RACER / V-RACER: off-policy policy gradient with ReF-ER + Retrace.
 
-TPU-native re-expression of the reference's V-RACER learner
-(source/smarties/Learners/RACER.{h,cpp}, RACER_common.cpp, RACER_train.cpp
-instantiated with Zero_advantage — AlgoFactory.cpp:114-153): a single
-network outputs [V, policy mean, (param head) policy stdev]; training is ONE
-jitted function: sample minibatch -> batched forward -> analytic
-output-space gradients (ReF-ER beta mix of policy gradient and KL penalty,
-far-policy gated) -> vjp pullback -> Adam ascent -> scatter write-backs of
-rho/KL/TD-error into the on-device replay.
+TPU-native re-expression of the reference's RACER template family
+(source/smarties/Learners/RACER.{h,cpp}, RACER_common.cpp, RACER_train.cpp),
+covering the three factory instantiations (AlgoFactory.cpp:96-153):
 
-The reference spreads this across OpenMP train tasks + a TaskQueue state
-machine (RACER.cpp:62-110); here the whole grad step is one XLA program.
+- V-RACER   = RACER<Zero_advantage, Continuous_policy>   (adv == 0, Q == V)
+- RACER     = RACER<Gaussian_advantage, Continuous_policy>
+- RACER-dis = RACER<Discrete_advantage, Discrete_policy>  (V-RACER with
+  discrete actions is auto-rewritten to this, AlgoFactory.cpp:78-83)
+
+One network outputs [V | advantage params | policy params] (+ a trainable
+state-independent stdev head for continuous policies, RACER_simpleSigma,
+RACER_common.cpp:77-108). Training is ONE jitted function: sample
+minibatch -> batched forward -> analytic output-space gradients (ReF-ER
+beta mix of policy gradient and KL penalty, far-policy gated;
+RACER_train.cpp:14-67) -> vjp pullback -> Adam ascent -> scatter
+write-backs of rho/KL/TD-error into the on-device replay. The reference
+spreads this across OpenMP train tasks + a TaskQueue state machine
+(RACER.cpp:62-110); here the whole grad step is one XLA program.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +35,7 @@ from smarties_tpu.core.mdp import MDPSpec
 from smarties_tpu.models.net import NetSpec, apply_net, init_params
 from smarties_tpu.models.optim import (AdamConfig, AdamState, adam_init,
                                        adam_step)
+from smarties_tpu.ops import advantages as adv_ops
 from smarties_tpu.ops import continuous_policy as cp
 from smarties_tpu.ops import discrete_policy as dpol
 from smarties_tpu.ops.value_scale import scale_net2v, scale_vdiff
@@ -39,32 +46,48 @@ F32 = jnp.float32
 
 
 class VRacer:
-    """Static algorithm object: builds net spec, act fn and train step."""
+    """RACER family learner. adv_kind selects the advantage family; the
+    default follows the factory rules from cfg.learner."""
 
-    def __init__(self, mdp: MDPSpec, cfg: HyperParameters):
+    def __init__(self, mdp: MDPSpec, cfg: HyperParameters,
+                 adv_kind: str | None = None):
         self.mdp = mdp
         self.cfg = cfg
         self.discrete = mdp.is_discrete
         nA = mdp.dim_action
+        if adv_kind is None:
+            if self.discrete:
+                adv_kind = "discrete"   # AlgoFactory.cpp:78-83 auto-rewrite
+            else:
+                adv_kind = "zero" if cfg.learner in ("VRACER", "default") \
+                    else "gaussian"
+        self.adv_kind = adv_kind
+
         if self.discrete:
             n_opts = mdp.max_action_label
-            # outputs: [V, probs-head] (RACER<Discrete_...> count_outputs)
-            self.spec = NetSpec(
-                n_in=mdp.dim_net_input, hidden=tuple(cfg.nnLayerSizes),
-                n_out=1 + n_opts, kind=cfg.nnType, act=cfg.nnFunc,
-                out_prefac=cfg.outWeightsPrefac)
             self.n_opts = n_opts
-        else:
-            # outputs: [V, mean(nA)] + ParamLayer stdev(nA)
-            # (RACER_simpleSigma, RACER_common.cpp:77-108)
-            sig0 = float(cp.initial_sigma_raw(cfg.explNoise))
+            self.nL = adv_ops.discrete_n_outputs(n_opts)
+            # outputs: [V, adv(nOpts), pol(nOpts)] (RACER_common.cpp:121-123)
+            self.adv_start, self.pol_start = 1, 1 + self.nL
             self.spec = NetSpec(
                 n_in=mdp.dim_net_input, hidden=tuple(cfg.nnLayerSizes),
-                n_out=1 + nA, kind=cfg.nnType, act=cfg.nnFunc,
+                n_out=1 + self.nL + n_opts, kind=cfg.nnType, act=cfg.nnFunc,
+                out_prefac=cfg.outWeightsPrefac)
+        else:
+            self.nL = (0 if adv_kind == "zero"
+                       else adv_ops.gaussian_n_outputs(nA))
+            self.adv_start, self.pol_start = 1, 1 + self.nL
+            sig0 = float(cp.initial_sigma_raw(cfg.explNoise))
+            bias = [0.0] + (adv_ops.gaussian_initial_bias(nA)
+                            if self.nL else []) + [0.0] * nA
+            self.spec = NetSpec(
+                n_in=mdp.dim_net_input, hidden=tuple(cfg.nnLayerSizes),
+                n_out=1 + self.nL + nA, kind=cfg.nnType, act=cfg.nnFunc,
                 out_prefac=cfg.outWeightsPrefac,
-                n_param_out=nA, param_init=tuple([sig0] * nA))
-        self.bounded = np.asarray(mdp.bounded_mask) if not self.discrete \
-            else None
+                n_param_out=nA, param_init=tuple([sig0] * nA),
+                out_bias_init=tuple(bias))
+        self.bounded = (None if self.discrete
+                        else np.asarray(mdp.bounded_mask))
         self.adam_cfg = AdamConfig(eta=cfg.learnrate, lambda_=cfg.nnLambda,
                                    eps_anneal=cfg.epsAnneal)
         self.returns_mode = ("retrace" if cfg.returnsEstimator
@@ -78,39 +101,52 @@ class VRacer:
 
     # ------------------------------------------------------------------
     def _split_out(self, out):
-        if self.discrete:
-            v_raw = out[..., 0]
-            pol = out[..., 1:]
-            return v_raw, pol, None
+        """-> (v_raw, adv_out, pol_out, sigma_raw|None)."""
         nA = self.mdp.dim_action
-        return out[..., 0], out[..., 1:1 + nA], out[..., 1 + nA:]
+        v_raw = out[..., 0]
+        adv = out[..., self.adv_start:self.adv_start + self.nL]
+        if self.discrete:
+            pol = out[..., self.pol_start:self.pol_start + self.n_opts]
+            return v_raw, adv, pol, None
+        pol = out[..., self.pol_start:self.pol_start + nA]
+        sraw = out[..., self.pol_start + nA:self.pol_start + 2 * nA]
+        return v_raw, adv, pol, sraw
+
+    def _advantage(self, adv_out, action_or_opt, pol, sigma=None,
+                   probs=None):
+        """A(s, a) for the configured family."""
+        if self.adv_kind == "zero":
+            return jnp.zeros(adv_out.shape[:-1], F32)
+        if self.discrete:
+            return adv_ops.discrete_advantage(adv_out, action_or_opt, probs)
+        m_eff = cp.eff_mean(pol, self.bounded)
+        return adv_ops.gaussian_advantage(adv_out, action_or_opt, m_eff,
+                                          sigma * sigma)
 
     # ------------------------------------------------------------------
     def make_act_fn(self, train: bool = True):
-        """Batched action selection (Learner::select / RACER::selectAction,
-        RACER.cpp:31-47): forward, sample, record V and mu. V-RACER's
-        Zero_advantage means A == 0, Q == V (Zero_advantage.h:18-45)."""
+        """Batched action selection (RACER::selectAction, RACER.cpp:31-47):
+        forward, sample, record V and Q = V + A(a)."""
         spec, mdp, bounded = self.spec, self.mdp, self.bounded
         discrete = self.discrete
 
         def act(params, obs_std, key):
             out, _ = apply_net(params, spec, obs_std)
-            v_raw, pol, sraw = self._split_out(out)
+            v_raw, adv_out, pol, sraw = self._split_out(out)
             value = scale_net2v(v_raw)
-            zeros = jnp.zeros_like(value)
             if discrete:
                 _, _, probs = dpol.probs_of(pol)
                 opt = dpol.select(key, probs, train)
-                action = opt[..., None].astype(F32)
-                return action, probs, value, zeros
-            mean = pol
+                a_val = self._advantage(adv_out, opt, pol, probs=probs)
+                return (opt[..., None].astype(F32), probs, value, a_val)
             sigma = cp.sigma_of(sraw)
             if train:
-                a = cp.sample(key, mean, sigma, bounded)
+                a = cp.sample(key, pol, sigma, bounded)
             else:
-                a = cp.eff_mean(mean, bounded)
-            mu = cp.mu_vector(mean, sigma, bounded)
-            return a, mu, value, zeros
+                a = cp.eff_mean(pol, bounded)
+            mu = cp.mu_vector(pol, sigma, bounded)
+            a_val = self._advantage(adv_out, a, pol, sigma=sigma)
+            return a, mu, value, a_val
 
         return act
 
@@ -119,14 +155,10 @@ class VRacer:
                    key, axis_name=None):
         """One gradient step (RACER_train.cpp:14-67 as one XLA program).
 
-        When axis_name is given, the function runs inside shard_map over a
-        learner mesh axis: each shard samples batchSize/n_shards transitions
-        from ITS replay shard, gradients are psum'd before Adam (the
-        reference's MPI_Iallreduce across learners_train_comm,
-        Optimizer.cpp:110-119), and ReF-ER counters are globally reduced
-        (HyperParameters::defineDistributedLearning semantics).
-
-        Returns (params, opt_state, rs, metrics).
+        When axis_name is given, runs inside shard_map over a learner mesh
+        axis: each shard samples batchSize/n_shards transitions from ITS
+        replay shard, gradients are psum'd before Adam (the reference's
+        MPI_Iallreduce across learners_train_comm, Optimizer.cpp:110-119).
         """
         cfg, mdp = self.cfg, self.mdp
         n_shards = (jax.lax.psum(1, axis_name) if axis_name is not None
@@ -139,7 +171,7 @@ class VRacer:
 
         ep, t = rb.sample_uniform(k_samp, rs, B)
         mb = gather_minibatch(rs, ep, t)
-        s_t, a_t, mu_t, qret_t = mb.s_t, mb.action, mb.mu, mb.qret
+        a_t, mu_t, qret_t = mb.action, mb.mu, mb.qret
 
         spec = self.spec
 
@@ -147,8 +179,8 @@ class VRacer:
             out, _ = apply_net(p, spec, x)
             return out
 
-        out, vjp_fn = jax.vjp(lambda p: fwd(p, s_t), params)
-        v_raw, pol, sraw = self._split_out(out)
+        out, vjp_fn = jax.vjp(lambda p: fwd(p, mb.s_t), params)
+        v_raw, adv_out, pol, sraw = self._split_out(out)
         v_val = scale_net2v(v_raw)
 
         if self.discrete:
@@ -156,30 +188,30 @@ class VRacer:
             un, norm, probs = dpol.probs_of(pol)
             rho = dpol.imp_weight(opt, probs, mu_t)
             dkl = dpol.kl_mu_pi(mu_t, probs)
+            a_val = self._advantage(adv_out, opt, pol, probs=probs)
         else:
             sigma = cp.sigma_of(sraw)
             rho = cp.imp_weight(a_t, pol, sigma, mu_t, self.bounded)
             dkl = cp.kl_div(mu_t, pol, sigma)
+            a_val = self._advantage(adv_out, a_t, pol, sigma=sigma)
 
         cmax, cinv, beta = rs.cmax_ret, rs.cinv_ret, rs.beta
         is_far = rb.is_far_policy(rho, cmax, cinv)
 
-        # Zero_advantage: Aval = 0; A_RET = Qret - V; deltaQ = A_RET
-        a_ret = qret_t - v_val
-        delta_q = a_ret
+        a_ret = qret_t - v_val                # Retrace advantage
+        delta_q = a_ret - a_val               # TD error
         ver = jnp.minimum(1.0, rho) * delta_q
+        aer = jnp.minimum(cmax, rho) * delta_q
 
         # ---- analytic output gradient (ascent), RACER_train.cpp:46-57 ----
         g_v = jnp.where(is_far, 0.0, ver * beta * scale_vdiff(v_raw))
-        pg_coef = jnp.where(is_far, 0.0,
-                            a_ret * jnp.minimum(cmax, rho))
+        pg_coef = jnp.where(is_far, 0.0, a_ret * jnp.minimum(cmax, rho))
         if self.discrete:
             pol_g = dpol.pol_grad(opt, pol, un, norm, probs, pg_coef)
             pol_g = jnp.where(is_far[:, None], 0.0, pol_g)
             pen_g = dpol.kl_grad(mu_t, pol, un, norm, probs,
                                  -jnp.ones_like(pg_coef))
-            mixed = beta * pol_g + (1 - beta) * pen_g
-            g = jnp.concatenate([g_v[:, None], mixed], axis=-1)
+            g_pol = beta * pol_g + (1 - beta) * pen_g
         else:
             pg_m, pg_s = cp.pol_grad(a_t, pol, sigma, sraw, pg_coef,
                                      self.bounded)
@@ -187,23 +219,36 @@ class VRacer:
             pg_s = jnp.where(is_far[:, None], 0.0, pg_s)
             pn_m, pn_s = cp.kl_grad(mu_t, pol, sigma, sraw,
                                     -jnp.ones_like(pg_coef))
-            g = jnp.concatenate([
-                g_v[:, None],
-                beta * pg_m + (1 - beta) * pn_m,
-                beta * pg_s + (1 - beta) * pn_s], axis=-1)
+            g_pol = jnp.concatenate([beta * pg_m + (1 - beta) * pn_m,
+                                     beta * pg_s + (1 - beta) * pn_s],
+                                    axis=-1)
+
+        # advantage-head gradient: ADV.grad(a, isFar? 0 : beta*Aer)
+        # via per-sample autodiff of the advantage (ops/advantages.py)
+        if self.nL > 0:
+            adv_coef = jnp.where(is_far, 0.0, beta * aer)
+            if self.discrete:
+                g_adv = jax.vmap(jax.grad(
+                    lambda ao, o, p: adv_ops.discrete_advantage(
+                        ao, o, p)))(adv_out, opt, probs)
+            else:
+                m_eff = cp.eff_mean(pol, self.bounded)
+                g_adv = jax.vmap(jax.grad(
+                    lambda ao, a, m, v: adv_ops.gaussian_advantage(
+                        ao, a, m, v)))(adv_out, a_t, m_eff, sigma * sigma)
+            g_adv = adv_coef[:, None] * g_adv
+            g = jnp.concatenate([g_v[:, None], g_adv, g_pol], axis=-1)
+        else:
+            g = jnp.concatenate([g_v[:, None], g_pol], axis=-1)
 
         grads = vjp_fn(g)[0]
         if axis_name is not None:
-            # sum gradients across learner shards before the (replicated)
-            # Adam update — MPI_Iallreduce analog (Optimizer.cpp:110-119);
-            # the grad factor divides by the GLOBAL batch (Optimizer.h:48).
             grads = jax.lax.psum(grads, axis_name)
         new_params, new_opt = adam_step(params, grads, opt_state,
                                         self.adam_cfg, 1.0 / cfg.batchSize)
 
         # ---- write-backs (MiniBatch::setMseDklImpw / setValues) ----
-        rs = write_back(rs, mb, rho, dkl, delta_q, v_val,
-                        jnp.zeros_like(v_val))
+        rs = write_back(rs, mb, rho, dkl, delta_q, v_val, a_val)
         # refresh V(s_T) when the sampled step precedes a truncation
         # (RACER_train.cpp:22-27): forward the next state, no gradient
         out_next = fwd(params, mb.s_t1)
@@ -240,3 +285,12 @@ class VRacer:
         rs = rb.recompute_returns(rs, self.cfg.gamma, self.cfg.lambda_,
                                   self.returns_mode)
         return rs
+
+
+class Racer(VRacer):
+    """Full RACER (Gaussian advantage for continuous actions)."""
+
+    def __init__(self, mdp: MDPSpec, cfg: HyperParameters):
+        super().__init__(mdp, cfg,
+                         adv_kind="discrete" if mdp.is_discrete
+                         else "gaussian")
