@@ -54,9 +54,19 @@ def main():
     grad_steps_s = 100 / dt_train
 
     # ---- combined actor-learner loop (the real training regime) ----
+    # re-couple the pacing invariant: the rollout phase above ran the env
+    # counter far ahead, which would let the combined phase train without
+    # collecting (blockDataAcquisition would stay true)
+    tr.n_env_steps = tr.n_obs_b4_start + int(
+        tr.n_grad_steps * cfg.obsPerStep)
+    # pre-warm every chunk shape the loop uses (train(100), roll(1),
+    # refresh) so the timed window measures steady state, not compiles
+    tr.train(2200, log_every=10**9, max_wall_s=120)
+    tr.n_env_steps = tr.n_obs_b4_start + int(
+        tr.n_grad_steps * cfg.obsPerStep)
     g0, e0 = tr.n_grad_steps, tr.n_env_steps
     t0 = time.perf_counter()
-    tr.train(2000, log_every=10**9, max_wall_s=60)
+    tr.train(5000, log_every=10**9, max_wall_s=60)
     dt = time.perf_counter() - t0
     loop_grad_s = (tr.n_grad_steps - g0) / dt
     loop_env_s = (tr.n_env_steps - e0) / dt

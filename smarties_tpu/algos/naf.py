@@ -1,0 +1,194 @@
+"""NAF: normalized advantage functions with quadratic advantage.
+
+TPU-native re-expression of the reference NAF (source/smarties/Learners/
+NAF.{h,cpp}, default Param_advantage == Quadratic_advantage): one network
+outputs [V, lower-triangular L params, mean] plus a trainable stdev head
+used only for exploration; Q(s,a) = V - 0.5 (a-m)^T LL^T (a-m). Targets are
+Retrace (NAF.json) or 1-step with a target network; the exploration stdev
+is pulled toward explNoise by fixExplorationGrad (NAF.cpp:160-161), and
+ReF-ER mixes the KL penalty into the mean gradient only (NAF.cpp:156-159).
+
+NAF uses the RAW network value output (no R2D2 value rescale — unlike
+RACER, compare NAF.cpp:60 with RACER.cpp:44).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smarties_tpu.algos.base import (default_metrics, gather_minibatch,
+                                     post_step_processing, write_back,
+                                     write_next_value)
+from smarties_tpu.core.mdp import MDPSpec
+from smarties_tpu.models.net import NetSpec, apply_net, init_params
+from smarties_tpu.models.optim import (AdamConfig, AdamState, adam_init,
+                                       adam_step, update_target)
+from smarties_tpu.ops import advantages as adv_ops
+from smarties_tpu.ops import continuous_policy as cp
+from smarties_tpu.ops.softplus import softplus_diff
+from smarties_tpu.replay import buffer as rb
+from smarties_tpu.utils.config import HyperParameters, anneal_rate
+
+F32 = jnp.float32
+
+
+def _hard_sigmoid(x):
+    """Quadratic_term::BoundedActFunction (Functions.h:255-283)."""
+    return 0.5 * (1 + x / jnp.sqrt(1 + x * x))
+
+
+class NAF:
+    def __init__(self, mdp: MDPSpec, cfg: HyperParameters):
+        assert not mdp.is_discrete, "NAF requires continuous actions"
+        self.mdp = mdp
+        self.cfg = cfg
+        nA = mdp.dim_action
+        self.nL = adv_ops.quadratic_n_outputs(nA)
+        # outputs: [V(1), L(nL), mean(nA)] + param stdev(nA) (NAF.cpp:39-44)
+        self.v_idx, self.l_start, self.m_start = 0, 1, 1 + self.nL
+        sig0 = float(cp.initial_sigma_raw(cfg.explNoise))
+        self.spec = NetSpec(
+            n_in=mdp.dim_net_input, hidden=tuple(cfg.nnLayerSizes),
+            n_out=1 + self.nL + nA, kind=cfg.nnType, act=cfg.nnFunc,
+            out_prefac=cfg.outWeightsPrefac,
+            n_param_out=nA, param_init=tuple([sig0] * nA))
+        self.bounded = np.asarray(mdp.bounded_mask)
+        self.adam_cfg = AdamConfig(eta=cfg.learnrate, lambda_=cfg.nnLambda,
+                                   eps_anneal=cfg.epsAnneal)
+        self.returns_mode = ("none" if cfg.returnsEstimator == "default"
+                             else cfg.returnsEstimator)
+        self.ou_decay = 0.85 if cfg.clipImpWeight <= 0 else 0.0  # NAF.h:25
+
+    # ------------------------------------------------------------------
+    def init(self, key):
+        net = init_params(key, self.spec)
+        params = {"net": net, "tgt": jax.tree_util.tree_map(jnp.copy, net)}
+        return params, adam_init(net)
+
+    def _split(self, out):
+        nA = self.mdp.dim_action
+        v = out[..., 0]
+        l_out = out[..., self.l_start:self.l_start + self.nL]
+        mean = out[..., self.m_start:self.m_start + nA]
+        sraw = out[..., self.m_start + nA:self.m_start + 2 * nA]
+        return v, l_out, mean, sraw
+
+    def _adv_mean(self, mean_raw):
+        """Quadratic_term::extract_mean maps bounded dims through
+        HardSigmoid (Quadratic_term.h:75-86)."""
+        b = jnp.asarray(self.bounded)
+        return jnp.where(b, _hard_sigmoid(mean_raw), mean_raw)
+
+    def _advantage(self, l_out, mean_raw, action):
+        return adv_ops.quadratic_advantage(
+            l_out, self._adv_mean(mean_raw), action, self.mdp.dim_action)
+
+    # ------------------------------------------------------------------
+    def make_act_fn(self, train: bool = True):
+        spec, bounded = self.spec, self.bounded
+        sample = train and self.cfg.explNoise > 0
+
+        def act(params, obs_std, key):
+            out, _ = apply_net(params["net"], spec, obs_std)
+            v, l_out, mean, sraw = self._split(out)
+            sigma = cp.sigma_of(sraw)
+            if sample:
+                a = cp.sample(key, mean, sigma, bounded)
+            else:
+                a = cp.eff_mean(mean, bounded)
+            mu = cp.mu_vector(mean, sigma, bounded)
+            a_val = self._advantage(l_out, mean, a)
+            return a, mu, v, a_val
+
+        return act
+
+    # ------------------------------------------------------------------
+    def train_step(self, params, opt_state: AdamState, rs: rb.ReplayState,
+                   key, axis_name=None):
+        """NAF::Train (NAF.cpp:121-165) as one XLA program."""
+        cfg = self.cfg
+        nA = self.mdp.dim_action
+        n_shards = (jax.lax.psum(1, axis_name) if axis_name is not None
+                    else 1)
+        B = cfg.batchSize // n_shards if axis_name is not None \
+            else cfg.batchSize
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        k_samp, = jax.random.split(key, 1)
+        ep, t = rb.sample_uniform(k_samp, rs, B)
+        mb = gather_minibatch(rs, ep, t)
+
+        spec = self.spec
+
+        def fwd(p, x):
+            out, _ = apply_net(p, spec, x)
+            return out
+
+        out, vjp_fn = jax.vjp(lambda p: fwd(p, mb.s_t), params["net"])
+        v, l_out, mean, sraw = self._split(out)
+        sigma = cp.sigma_of(sraw)
+        rho = cp.imp_weight(mb.action, mean, sigma, mb.mu, self.bounded)
+        dkl = cp.kl_div(mb.mu, mean, sigma)
+        a_val = self._advantage(l_out, mean, mb.action)
+        q_val = v + a_val
+        is_far = rb.is_far_policy(rho, rs.cmax_ret, rs.cinv_ret)
+
+        if self.returns_mode != "none":
+            target = mb.qret
+            v_next = fwd(params["net"], mb.s_t1)[..., 0]
+        else:
+            v_next = fwd(params["tgt"], mb.s_t1)[..., 0]
+            target = mb.reward_next + jnp.where(
+                mb.terminal_next | is_far, 0.0, cfg.gamma * v_next)
+
+        error = jnp.where(is_far, 0.0, target - q_val)
+
+        # output gradient: value + advantage (autodiff) + ReF-ER mean mix +
+        # stdev pulled to explNoise (NAF.cpp:148-161)
+        g_adv = jax.vmap(jax.grad(
+            lambda lo, m, a: self._advantage(lo[None], m[None],
+                                             a[None])[0],
+            argnums=(0, 1)))(l_out, mean, mb.action)
+        g_l = error[:, None] * g_adv[0]
+        g_m = error[:, None] * g_adv[1]
+        if cfg.clipImpWeight > 0:
+            pn_m, _ = cp.kl_grad(mb.mu, mean, sigma, sraw,
+                                 -jnp.ones_like(rho))
+            g_m = rs.beta * g_m + (1 - rs.beta) * pn_m
+        # fixExplorationGrad (Continuous_policy.h:172-177)
+        g_s = softplus_diff(sraw) * (cfg.explNoise - sigma) / 2
+        g = jnp.concatenate([error[:, None], g_l, g_m, g_s], axis=-1)
+
+        grads = vjp_fn(g)[0]
+        if axis_name is not None:
+            grads = jax.lax.psum(grads, axis_name)
+        new_net, new_opt = adam_step(params["net"], grads, opt_state,
+                                     self.adam_cfg, 1.0 / cfg.batchSize)
+        new_tgt = update_target(new_net, params["tgt"], cfg.targetDelay,
+                                new_opt.step)
+        new_params = {"net": new_net, "tgt": new_tgt}
+
+        rs = write_back(rs, mb, rho, dkl, error, v, a_val)
+        rs = write_next_value(rs, mb, v_next)
+        rs, frac_off = post_step_processing(rs, cfg, new_opt.step, error,
+                                            axis_name)
+        metrics = default_metrics(dkl, rho, is_far, frac_off, rs.beta,
+                                  error, v, axis_name)
+        return new_params, new_opt, rs, metrics
+
+    # ------------------------------------------------------------------
+    def refresh(self, rs: rb.ReplayState, n_grad_steps, axis_name=None):
+        cfg = self.cfg
+        rs = rb.recompute_returns(rs, cfg.gamma, cfg.lambda_,
+                                  self.returns_mode)
+        lr = anneal_rate(cfg.learnrate, n_grad_steps, cfg.epsAnneal)
+        rs = rb.update_state_rew_stats(rs, 10.0 * lr, axis_name=axis_name)
+        return rs
+
+    def initialize_stats(self, rs: rb.ReplayState, axis_name=None):
+        rs = rb.update_state_rew_stats(rs, 1.0, b_init=True,
+                                       axis_name=axis_name)
+        rs = rb.recompute_returns(rs, self.cfg.gamma, self.cfg.lambda_,
+                                  self.returns_mode)
+        return rs

@@ -164,8 +164,12 @@ class Trainer:
 
     def block_data(self) -> bool:
         """Learner::blockDataAcquisition (Learner.cpp:102-113)."""
-        if int(self.replay.n_stored_steps()) < self.n_obs_b4_start:
-            return False
+        # cache the one-time startup condition to avoid a device reduction
+        # (sync point) on every host-loop iteration
+        if not getattr(self, "_min_stored_reached", False):
+            if int(self.replay.n_stored_steps()) < self.n_obs_b4_start:
+                return False
+            self._min_stored_reached = True
         return (self._n_loc_train_steps()
                 > (self.n_grad_steps + 1) * self.cfg.obsPerStep)
 
@@ -182,14 +186,15 @@ class Trainer:
             self.warmup()
         target = self.n_grad_steps + n_grad_steps
         t0 = time.time()
+        # fixed train-chunk quantum: a single static scan length avoids
+        # recompiles; 100 divides the 1000-step refresh cadence
+        Q = 100
         while self.n_grad_steps < target and time.time() - t0 < max_wall_s:
             # how many grad steps are allowed by the pacing invariant
             allowed = int(self._n_loc_train_steps() / self.cfg.obsPerStep
                           ) - self.n_grad_steps
             allowed = min(allowed, target - self.n_grad_steps)
-            # never jit a chunk crossing the 1000-step refresh boundary
-            to_refresh = 1000 - (self.n_grad_steps % 1000)
-            n_tr = max(0, min(allowed, to_refresh, 200))
+            n_tr = Q if allowed >= Q else max(0, allowed)
             if n_tr > 0:
                 rs = self.carry.replay
                 if self.mesh is None:
@@ -205,15 +210,17 @@ class Trainer:
                 self.carry = self.carry._replace(replay=rs)
                 self.n_grad_steps += n_tr
                 self._last_metrics = metrics
-                if self.n_grad_steps % 1000 == 0:
+                if self.n_grad_steps // 1000 > self._last_refresh // 1000:
+                    self._last_refresh = self.n_grad_steps
                     self.carry = self.carry._replace(
                         replay=self._refresh(self.carry.replay,
                                              float(self.n_grad_steps)))
             if not self.block_data():
-                # enough sweeps to allow ~200 more grad steps
-                need = max(1, int(np.ceil(
-                    200 * self.cfg.obsPerStep / self.n_envs)))
-                self._roll(min(need, 64))
+                # fixed-size rollout chunk (one compiled variant): enough
+                # sweeps to allow ~Q more grad steps
+                roll_n = max(1, min(64, int(np.ceil(
+                    Q * self.cfg.obsPerStep / self.n_envs))))
+                self._roll(roll_n)
             if (self.n_grad_steps - self._last_log) >= log_every:
                 self._last_log = self.n_grad_steps
                 self.log_status()
