@@ -252,6 +252,13 @@ def prune_to_capacity(rs: ReplayState, max_tot_obs: int, filter_algo: str):
     )
 
 
+def clear_all(rs: ReplayState) -> ReplayState:
+    """Invalidate every episode (PPO epoch-end clearAll,
+    MemoryBuffer clearAll / PPO.cpp:105-112)."""
+    return rs._replace(ep_id=-jnp.ones_like(rs.ep_id),
+                       length=jnp.zeros_like(rs.length))
+
+
 # ---------------------------------------------------------------------------
 # sampling
 # ---------------------------------------------------------------------------

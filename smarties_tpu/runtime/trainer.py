@@ -76,11 +76,15 @@ class Trainer:
 
         act_fn = self.algo.make_act_fn(train=cfg.bTrain)
         # per-shard capacity: the reference splits maxTotObsNum across
-        # learner ranks (HyperParameters::defineDistributedLearning)
+        # learner ranks (HyperParameters::defineDistributedLearning).
+        # On-policy (PPO) fills a horizon then clears; give the ring slack
+        # so commit-time pruning never drops fresh horizon data.
         n_shards = mesh.devices.size if mesh is not None else 1
         assert n_envs % n_shards == 0 and n_slots % n_shards == 0
+        self.on_policy = getattr(self.algo, "on_policy", False)
+        commit_cap = cfg.maxTotObsNum * (4 if self.on_policy else 1)
         chunk_fn = make_rollout_chunk(
-            env_module, mdp, act_fn, cfg.maxTotObsNum // n_shards,
+            env_module, mdp, act_fn, commit_cap // n_shards,
             cfg.gamma, cfg.lambda_, self.algo.returns_mode,
             cfg.ERoldSeqFilter)
 
@@ -182,6 +186,9 @@ class Trainer:
     def train(self, n_grad_steps: int, log_every: int = 1000,
               max_wall_s: float = float("inf")):
         """Run until n_grad_steps more gradient steps are done."""
+        if self.on_policy:
+            return self._train_on_policy(n_grad_steps, log_every,
+                                         max_wall_s)
         if not self._initialized:
             self.warmup()
         target = self.n_grad_steps + n_grad_steps
@@ -224,6 +231,58 @@ class Trainer:
             if (self.n_grad_steps - self._last_log) >= log_every:
                 self._last_log = self.n_grad_steps
                 self.log_status()
+
+    # ------------------------------------------------------------------
+    def _train_on_policy(self, n_grad_steps: int, log_every: int = 1000,
+                         max_wall_s: float = float("inf")):
+        """PPO-style horizon cycle (PPO.cpp:44-115): fill nHorizon fresh
+        transitions -> nEpochs of minibatch updates (reward-stats refresh
+        once per data pass) -> clear the buffer -> repeat."""
+        from smarties_tpu.replay.buffer import clear_all
+        algo = self.algo
+        horizon = algo.n_horizon
+        updates_per_cycle = algo.n_epochs * horizon // self.cfg.batchSize
+        per_epoch = max(1, horizon // self.cfg.batchSize)
+        target = self.n_grad_steps + n_grad_steps
+        t0 = time.time()
+        while self.n_grad_steps < target and time.time() - t0 < max_wall_s:
+            # ---- fill the horizon with fresh on-policy data ----
+            while int(self.replay.n_stored_steps()) < horizon:
+                self._roll(max(1, min(64, (horizon // 8) // self.n_envs
+                                      or 1)))
+            if not self._initialized:
+                self.carry = self.carry._replace(
+                    replay=self._init_stats(self.carry.replay))
+                self._initialized = True
+            # ---- nEpochs of updates over the frozen horizon ----
+            done_in_cycle = 0
+            while done_in_cycle < updates_per_cycle:
+                n_tr = min(per_epoch, updates_per_cycle - done_in_cycle)
+                rs = self.carry.replay
+                if self.mesh is None:
+                    self.key, k = jax.random.split(self.key)
+                    self.params, self.opt_state, rs, metrics = \
+                        self._train_chunk(self.params, self.opt_state, rs,
+                                          k, n_tr)
+                else:
+                    (self.params, self.opt_state, rs, metrics,
+                     self._train_keys) = self._train_sharded(
+                        self.params, self.opt_state, rs,
+                        self._train_keys, n_tr)
+                self.carry = self.carry._replace(replay=rs)
+                self.n_grad_steps += n_tr
+                done_in_cycle += n_tr
+                self._last_metrics = metrics
+                # once per data pass: reward/state stats (PPO.cpp:100-104)
+                self.carry = self.carry._replace(
+                    replay=self._refresh(self.carry.replay,
+                                         float(self.n_grad_steps)))
+                if (self.n_grad_steps - self._last_log) >= log_every:
+                    self._last_log = self.n_grad_steps
+                    self.log_status()
+            # ---- epoch over: discard data (PPO.cpp:105-112) ----
+            self.carry = self.carry._replace(
+                replay=clear_all(self.carry.replay))
 
     # ------------------------------------------------------------------
     def log_status(self):
