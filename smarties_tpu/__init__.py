@@ -18,3 +18,5 @@ __version__ = "0.1.0"
 
 from smarties_tpu.utils.config import HyperParameters
 from smarties_tpu.core.mdp import MDPSpec
+from smarties_tpu.runtime.engine import Engine
+from smarties_tpu.runtime.communicator import Communicator

@@ -103,7 +103,7 @@ class DPG:
         bounded = self.bounded
         sample = train and self.cfg.explNoise > 0
 
-        def act(params, obs_std, key):
+        def act(params, obs_std, key, rnn=()):
             net = params["net"]
             feat = self._feat(net, obs_std)
             mean, sraw = self._actor(net, feat)
@@ -116,7 +116,7 @@ class DPG:
             # appendValues(V = Q(s, pol(s)), Q = Q(s, a)) (DPG.cpp:100-105)
             v = self._critic(net, feat, mean)
             q = self._critic(net, feat, a)
-            return a, mu, v, q - v
+            return a, mu, v, q - v, rnn
 
         return act
 

@@ -72,14 +72,15 @@ class DQN:
         spec = self.spec
         sample = train and self.cfg.explNoise > 0
 
-        def act(params, obs_std, key):
-            qs, _ = apply_net(params["net"], spec, obs_std)
+        def act(params, obs_std, key, rnn=()):
+            qs, rnn = apply_net(params["net"], spec, obs_std, rnn)
             _, _, probs = dpol.probs_of(qs, fn="exp")
             opt = dpol.select(key, probs, sample)
             q_a = jnp.take_along_axis(qs, opt[..., None], axis=-1)[..., 0]
             value = _soft_expected_value(qs, qs)
             # appendValues(E[Q], Q[a]) => advantage = Q[a] - E[Q]
-            return (opt[..., None].astype(F32), probs, value, q_a - value)
+            return (opt[..., None].astype(F32), probs, value, q_a - value,
+                    rnn)
 
         return act
 

@@ -89,8 +89,8 @@ class NAF:
         spec, bounded = self.spec, self.bounded
         sample = train and self.cfg.explNoise > 0
 
-        def act(params, obs_std, key):
-            out, _ = apply_net(params["net"], spec, obs_std)
+        def act(params, obs_std, key, rnn=()):
+            out, rnn = apply_net(params["net"], spec, obs_std, rnn)
             v, l_out, mean, sraw = self._split(out)
             sigma = cp.sigma_of(sraw)
             if sample:
@@ -99,7 +99,7 @@ class NAF:
                 a = cp.eff_mean(mean, bounded)
             mu = cp.mu_vector(mean, sigma, bounded)
             a_val = self._advantage(l_out, mean, a)
-            return a, mu, v, a_val
+            return a, mu, v, a_val, rnn
 
         return act
 

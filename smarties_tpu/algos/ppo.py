@@ -119,7 +119,7 @@ class PPO:
         bounded = self.bounded
         sample = train and self.cfg.explNoise > 0
 
-        def act(params, obs_std, key):
+        def act(params, obs_std, key, rnn=()):
             feat = self._feat(params, obs_std)
             pol, _ = apply_net(params["actor"], self.actor_spec, feat)
             v, _ = apply_net(params["critic"], self.critic_spec, feat)
@@ -128,14 +128,15 @@ class PPO:
             if self.discrete:
                 _, _, probs = dpol.probs_of(pol)
                 opt = dpol.select(key, probs, sample)
-                return (opt[..., None].astype(F32), probs, value, zeros)
+                return (opt[..., None].astype(F32), probs, value, zeros,
+                        rnn)
             nA = self.mdp.dim_action
             mean, sraw = pol[..., :nA], pol[..., nA:]
             sigma = cp.sigma_of(sraw)
             a = cp.sample(key, mean, sigma, bounded) if sample \
                 else cp.eff_mean(mean, bounded)
             mu = cp.mu_vector(mean, sigma, bounded)
-            return a, mu, value, zeros
+            return a, mu, value, zeros, rnn
 
         return act
 

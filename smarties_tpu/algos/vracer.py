@@ -99,6 +99,10 @@ class VRacer:
         params = init_params(key, self.spec)
         return params, adam_init(params)
 
+    def init_rnn(self, n_envs: int):
+        from smarties_tpu.models.net import init_carry
+        return init_carry(self.spec, (n_envs,))
+
     # ------------------------------------------------------------------
     def _split_out(self, out):
         """-> (v_raw, adv_out, pol_out, sigma_raw|None)."""
@@ -130,15 +134,16 @@ class VRacer:
         spec, mdp, bounded = self.spec, self.mdp, self.bounded
         discrete = self.discrete
 
-        def act(params, obs_std, key):
-            out, _ = apply_net(params, spec, obs_std)
+        def act(params, obs_std, key, rnn=()):
+            out, rnn = apply_net(params, spec, obs_std, rnn)
             v_raw, adv_out, pol, sraw = self._split_out(out)
             value = scale_net2v(v_raw)
             if discrete:
                 _, _, probs = dpol.probs_of(pol)
                 opt = dpol.select(key, probs, train)
                 a_val = self._advantage(adv_out, opt, pol, probs=probs)
-                return (opt[..., None].astype(F32), probs, value, a_val)
+                return (opt[..., None].astype(F32), probs, value, a_val,
+                        rnn)
             sigma = cp.sigma_of(sraw)
             if train:
                 a = cp.sample(key, pol, sigma, bounded)
@@ -146,7 +151,7 @@ class VRacer:
                 a = cp.eff_mean(pol, bounded)
             mu = cp.mu_vector(pol, sigma, bounded)
             a_val = self._advantage(adv_out, a, pol, sigma=sigma)
-            return a, mu, value, a_val
+            return a, mu, value, a_val, rnn
 
         return act
 
@@ -179,7 +184,50 @@ class VRacer:
             out, _ = apply_net(p, spec, x)
             return out
 
-        out, vjp_fn = jax.vjp(lambda p: fwd(p, mb.s_t), params)
+        if spec.is_recurrent:
+            # Truncated BPTT over a window ending at the sampled step
+            # (reference: per-sample windows [t - nnBPTTseq, t + 2) with
+            # zeroed context at window start, MemoryBuffer.cpp:393-402,
+            # Network.h:155-193 backProp). One lax.scan over W+1 steps:
+            # positions t-W+1..t (history + sampled step) then t+1.
+            from smarties_tpu.models.net import init_carry
+            W = cfg.nnBPTTseq
+            offs = jnp.arange(-W + 1, 2)
+            tw = t[:, None] + offs[None, :]               # [B, W+1]
+            active = tw >= 0
+            twc = jnp.clip(tw, 0, rs.max_len)
+            xs = (rs.states[ep[:, None], twc]
+                  - rs.state_mean) * rs.state_scale       # [B, W+1, dimS]
+            xs = jnp.where(active[..., None], xs, 0.0)
+            xs_t = jnp.moveaxis(xs, 1, 0)                 # [W+1, B, dimS]
+            m_t = jnp.moveaxis(active, 1, 0)              # [W+1, B]
+            carry0 = init_carry(spec, (B,))
+
+            def fwd_seq(p):
+                def step(c, inp):
+                    x, m = inp
+                    y, c2 = apply_net(p, spec, x, c)
+                    c2 = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(m[:, None], a, b), c2, c)
+                    return c2, y
+
+                _, ys = jax.lax.scan(step, carry0, (xs_t, m_t))
+                return ys                                  # [W+1, B, nouts]
+
+            ys, vjp_seq = jax.vjp(fwd_seq, params)
+            out = ys[W - 1]
+            out_next_pre = ys[W]
+
+            def pullback(g):
+                g_full = jnp.zeros_like(ys).at[W - 1].set(g)
+                return vjp_seq(g_full)[0]
+        else:
+            out, vjp_fn = jax.vjp(lambda p: fwd(p, mb.s_t), params)
+            out_next_pre = None
+
+            def pullback(g):
+                return vjp_fn(g)[0]
+
         v_raw, adv_out, pol, sraw = self._split_out(out)
         v_val = scale_net2v(v_raw)
 
@@ -241,7 +289,7 @@ class VRacer:
         else:
             g = jnp.concatenate([g_v[:, None], g_pol], axis=-1)
 
-        grads = vjp_fn(g)[0]
+        grads = pullback(g)
         if axis_name is not None:
             grads = jax.lax.psum(grads, axis_name)
         new_params, new_opt = adam_step(params, grads, opt_state,
@@ -251,7 +299,8 @@ class VRacer:
         rs = write_back(rs, mb, rho, dkl, delta_q, v_val, a_val)
         # refresh V(s_T) when the sampled step precedes a truncation
         # (RACER_train.cpp:22-27): forward the next state, no gradient
-        out_next = fwd(params, mb.s_t1)
+        out_next = (jax.lax.stop_gradient(out_next_pre)
+                    if out_next_pre is not None else fwd(params, mb.s_t1))
         v_next = scale_net2v(out_next[..., 0])
         rs = write_next_value(rs, mb, v_next)
 

@@ -54,7 +54,8 @@ def carry_pspec(carry) -> Tuple:
                                          x, jnp.ndarray))
     env_spec = jax.tree_util.tree_map(lambda _: P(AXIS), carry.env_state)
     key_spec = P(AXIS)  # [n_shards, 2] keys, one per shard
-    return type(carry)(rs_spec, ip_spec, env_spec, key_spec)
+    rnn_spec = jax.tree_util.tree_map(lambda _: P(AXIS), carry.rnn)
+    return type(carry)(rs_spec, ip_spec, env_spec, key_spec, rnn_spec)
 
 
 def shard_carry(mesh: Mesh, carry):

@@ -281,6 +281,15 @@ def sample_uniform(key, rs: ReplayState, batch: int):
     return ep, t
 
 
+def sample_episodes(key, rs: ReplayState, batch: int):
+    """Uniform over stored episodes (bSampleEpisodes mode,
+    Sampling.cpp:55-81). Returns episode slot indices [batch]."""
+    valid = rs.valid_slots()
+    p = valid.astype(F32)
+    p = p / jnp.maximum(jnp.sum(p), 1.0)
+    return jax.random.choice(key, rs.n_slots, (batch,), p=p).astype(I32)
+
+
 def sample_per_rank(key, rs: ReplayState, batch: int, beta_annealed):
     """Rank-based prioritized sampling (TSample_impRank, Sampling.cpp:101-169).
 

@@ -65,6 +65,9 @@ class RolloutCarry(NamedTuple):
     inprog: InProgress
     env_state: object
     key: jnp.ndarray
+    # per-env persistent recurrent context for acting (AgentContext analog,
+    # Network/ThreadContext.h:19-100); () for feed-forward nets
+    rnn: tuple = ()
 
 
 def make_rollout_chunk(env_module, mdp, act_fn: Callable,
@@ -83,7 +86,7 @@ def make_rollout_chunk(env_module, mdp, act_fn: Callable,
     from smarties_tpu.ops.returns import batched_return_estimate
 
     def one_step(params, carry: RolloutCarry):
-        rs, ip, es, key = carry
+        rs, ip, es, key, rnn = carry
         key, k_act, k_reset = jax.random.split(key, 3)
         V = ip.t.shape[0]
         L1 = ip.states.shape[1]
@@ -91,7 +94,7 @@ def make_rollout_chunk(env_module, mdp, act_fn: Callable,
         obs_full = env_module.observe(es)
         obs = mdp.observed(obs_full)
         obs_std = (obs - rs.state_mean) * rs.state_scale
-        act, mu, val, adv = act_fn(params, obs_std, k_act)
+        act, mu, val, adv, rnn = act_fn(params, obs_std, k_act, rnn)
 
         lane = jnp.arange(V)
         tcur = ip.t
@@ -140,7 +143,11 @@ def make_rollout_chunk(env_module, mdp, act_fn: Callable,
         log = (done, tnew, ip.cum_reward)
         ip = _reset_lanes(ip, done)
         es2 = env_module.reset_where(es2, done, k_reset)
-        return RolloutCarry(rs, ip, es2, key), log
+        # zero the recurrent context of finished lanes (AgentContext reset)
+        rnn = jax.tree_util.tree_map(
+            lambda h: jnp.where(
+                done.reshape((-1,) + (1,) * (h.ndim - 1)), 0.0, h), rnn)
+        return RolloutCarry(rs, ip, es2, key, rnn), log
 
     def rollout_chunk(params, carry: RolloutCarry, n_steps: int):
         def body(c, _):

@@ -1,0 +1,148 @@
+"""User-facing environment API: the Communicator.
+
+Re-implements the reference's inverted-control env interface
+(source/smarties/Communicator.{h,cpp}): user applications drive the control
+flow and call sendInitState / sendState / sendTermState / sendLastState /
+recvAction; problem-description setters declare dims, bounds, discrete
+options, observability, multi-agent counts.
+
+Transport: the reference forks env processes connected by AF_UNIX sockets
+(Utils/SocketsLib.h, Core/Launcher.cpp:28-69); here env worker processes
+talk to the learner over multiprocessing pipes (same process model, python
+transport; a C-level shared-memory slab transport can be slotted in behind
+the same message protocol).
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+# episode status codes (Core/Agent.h:23)
+INIT, CONT, TERM, LAST, FAIL = 0, 1, 2, 3, 4
+KILL_ACTION = "__KILL__"
+
+
+class TrainingTerminated(Exception):
+    """Raised inside the app loop when the learner sends KILL
+    (Communicator::terminateTraining, Communicator.cpp:292-296)."""
+
+
+class Communicator:
+    """Child-process side. One per env process; supports multiple agents
+    per env (setNumAgents, Communicator.h:117)."""
+
+    def __init__(self, conn, env_id: int = 0):
+        self._conn = conn
+        self.env_id = env_id
+        self._spec = {
+            "dim_state": None, "dim_action": None,
+            "bounded": None, "upper": None, "lower": None,
+            "discrete_values": (), "observable": None,
+            "n_agents": 1, "n_appended_obs": 0,
+        }
+        self._spec_sent = False
+        self._started = [False]
+
+    # ---------------- problem description (Communicator.h:90-141) -------
+    def setStateActionDims(self, dim_state: int, dim_action: int,
+                           agent_id: int = 0):
+        self._spec["dim_state"] = int(dim_state)
+        self._spec["dim_action"] = int(dim_action)
+
+    def setActionScales(self, upper: Sequence[float],
+                        lower: Sequence[float], areBounds: bool = True,
+                        agent_id: int = 0):
+        n = len(upper)
+        self._spec["upper"] = tuple(float(u) for u in upper)
+        self._spec["lower"] = tuple(float(l) for l in lower)
+        self._spec["bounded"] = tuple([bool(areBounds)] * n)
+
+    def setActionOptions(self, options, agent_id: int = 0):
+        """Discrete actions: number of options per action component
+        (Communicator::setActionOptions)."""
+        if np.isscalar(options):
+            options = [options]
+        self._spec["discrete_values"] = tuple(int(o) for o in options)
+
+    def setStateObservable(self, observable: Sequence[bool],
+                           agent_id: int = 0):
+        self._spec["observable"] = tuple(bool(b) for b in observable)
+
+    def setStateScales(self, upper, lower, agent_id: int = 0):
+        # accepted for API parity; runtime normalization is learned online
+        self._spec["state_upper"] = tuple(map(float, upper))
+        self._spec["state_lower"] = tuple(map(float, lower))
+
+    def setNumAgents(self, n: int):
+        self._spec["n_agents"] = int(n)
+        self._started = [False] * int(n)
+
+    def setNumAppendedPastObservations(self, n: int):
+        self._spec["n_appended_obs"] = int(n)
+
+    def setIsPartiallyObservable(self, agent_id: int = 0):
+        self._spec["partially_observable"] = True
+
+    # ---------------- episode flow (Communicator.h:52-88) ---------------
+    def _send(self, status: int, state, reward: float, agent_id: int):
+        if not self._spec_sent:
+            self._conn.send(("spec", self._spec))
+            self._spec_sent = True
+        state = np.asarray(state, np.float64)
+        self._conn.send(("state", agent_id, status, state, float(reward)))
+
+    def sendInitState(self, state, agent_id: int = 0):
+        self._started[agent_id] = True
+        self._send(INIT, state, 0.0, agent_id)
+
+    def sendState(self, state, reward: float, agent_id: int = 0):
+        self._send(CONT, state, reward, agent_id)
+
+    def sendTermState(self, state, reward: float, agent_id: int = 0):
+        self._send(TERM, state, reward, agent_id)
+
+    def sendLastState(self, state, reward: float, agent_id: int = 0):
+        self._send(LAST, state, reward, agent_id)
+
+    def recvAction(self, agent_id: int = 0) -> np.ndarray:
+        msg = self._conn.recv()
+        if isinstance(msg, str) and msg == KILL_ACTION:
+            raise TrainingTerminated()
+        return np.asarray(msg, np.float64)
+
+    def recvDiscreteAction(self, agent_id: int = 0) -> int:
+        return int(self.recvAction(agent_id)[0])
+
+    def terminateTraining(self):
+        raise TrainingTerminated()
+
+    # sugar for stateless optimization problems (Communicator.h:148-161)
+    def getOptimizationParameters(self, agent_id: int = 0) -> np.ndarray:
+        self.sendInitState(np.zeros(1), agent_id)
+        return self.recvAction(agent_id)
+
+    def setOptimizationEvaluation(self, result: float, agent_id: int = 0):
+        self.sendTermState(np.zeros(1), -float(result), agent_id)
+
+
+def spec_to_mdp(spec: dict):
+    """Build an MDPSpec from a Communicator problem description."""
+    from smarties_tpu.core.mdp import MDPSpec
+    dim_s, dim_a = spec["dim_state"], spec["dim_action"]
+    assert dim_s is not None and dim_a is not None, \
+        "env must call setStateActionDims before sending states"
+    kw = dict(dim_state=dim_s, dim_action=dim_a,
+              n_agents_per_env=spec.get("n_agents", 1),
+              n_appended_obs=spec.get("n_appended_obs", 0))
+    if spec.get("discrete_values"):
+        kw["discrete_values"] = spec["discrete_values"]
+    else:
+        if spec.get("bounded") is not None:
+            kw["bounded"] = spec["bounded"]
+            kw["upper_action"] = spec["upper"]
+            kw["lower_action"] = spec["lower"]
+    if spec.get("observable") is not None:
+        kw["observable"] = spec["observable"]
+    return MDPSpec(**kw)

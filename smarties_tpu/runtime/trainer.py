@@ -72,7 +72,9 @@ class Trainer:
         env_state = env_module.init(k_env, n_envs)
         key, k_roll = jax.random.split(self.key)
         self.key = key
-        self.carry = RolloutCarry(self.rs, ip, env_state, k_roll)
+        rnn0 = (self.algo.init_rnn(n_envs)
+                if hasattr(self.algo, "init_rnn") else ())
+        self.carry = RolloutCarry(self.rs, ip, env_state, k_roll, rnn0)
 
         act_fn = self.algo.make_act_fn(train=cfg.bTrain)
         # per-shard capacity: the reference splits maxTotObsNum across
@@ -301,17 +303,22 @@ class Trainer:
     def evaluate(self, n_episodes: int = 10, max_steps: int = 1000):
         """Deterministic-policy evaluation episodes (bTrain=0 serving path,
         Worker.cpp:91-111 isOverTesting)."""
-        act = jax.jit(lambda p, o, k: self.algo.make_act_fn(False)(p, o, k))
+        act = jax.jit(self.algo.make_act_fn(False))
         self.key, k_env = jax.random.split(self.key)
         es = self.env.init(k_env, n_episodes)
         done = np.zeros(n_episodes, bool)
         rets = np.zeros(n_episodes)
         rs = self.replay
+        rnn = (self.algo.init_rnn(n_episodes)
+               if hasattr(self.algo, "init_rnn") else ())
         for _ in range(max_steps):
             obs = self.mdp.observed(self.env.observe(es))
             obs_std = (obs - rs.state_mean) * rs.state_scale
             self.key, k = jax.random.split(self.key)
-            a, _, _, _ = act(self.params, obs_std, k)
+            a, _, _, _, rnn = act(self.params, obs_std, k, rnn)
+            # NaN guard (reference: Agent::checkNanOrInf, Agent.h:301-313)
+            assert np.isfinite(np.asarray(a)).all(), \
+                "non-finite action during evaluation — training diverged"
             es, r, d, _ = self.env.step(es, self.mdp.learner_to_env_action(a))
             rets += np.asarray(r) * (~done)
             done |= np.asarray(d)
