@@ -133,7 +133,7 @@ class DPG:
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k_samp, = jax.random.split(key, 1)
-        ep, t = rb.sample_uniform(k_samp, rs, B)
+        ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
         mb = gather_minibatch(rs, ep, t)
         net, tgt = params["net"], params["tgt"]
 

@@ -174,7 +174,7 @@ class VRacer:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k_samp, = jax.random.split(key, 1)
 
-        ep, t = rb.sample_uniform(k_samp, rs, B)
+        ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
         mb = gather_minibatch(rs, ep, t)
         a_t, mu_t, qret_t = mb.action, mb.mu, mb.qret
 

@@ -290,12 +290,14 @@ def sample_episodes(key, rs: ReplayState, batch: int):
     return jax.random.choice(key, rs.n_slots, (batch,), p=p).astype(I32)
 
 
-def sample_per_rank(key, rs: ReplayState, batch: int, beta_annealed):
+def sample_per_rank(key, rs: ReplayState, batch: int, beta_annealed=1.0):
     """Rank-based prioritized sampling (TSample_impRank, Sampling.cpp:101-169).
 
     Probability ~ 1/rank of |TD error| over stored transitions; importance
     weights ~ (1/(N p)) ** beta normalized by max (reference annealed
-    PER beta exponent, MemoryBuffer.cpp:409-427).
+    PER beta exponent, MemoryBuffer.cpp:409-427). NOTE the reference
+    computes but never applies the PER weight to gradients
+    (Approximator.h:196 is commented out); same here.
     Returns (ep_idx, t_idx, importance_weight).
     """
     mask = rs.valid_steps()
@@ -313,6 +315,49 @@ def sample_per_rank(key, rs: ReplayState, batch: int, beta_annealed):
     w = (1.0 / (n_data * p[flat])) ** beta_annealed
     w = w / jnp.max(w)
     return ep, t, w
+
+
+def sample_per_err(key, rs: ReplayState, batch: int):
+    """TD-error-proportional prioritized sampling (TSample_impErr,
+    Sampling.cpp:172-225): p ~ |delta| + eps over stored transitions."""
+    mask = rs.valid_steps()
+    p = jnp.where(mask, jnp.abs(rs.delta) + 1e-3, 0.0).reshape(-1)
+    p = p / jnp.maximum(jnp.sum(p), 1e-9)
+    n = p.shape[0]
+    flat = jax.random.choice(key, n, (batch,), p=p)
+    L1 = rs.states.shape[1]
+    return (flat // L1).astype(I32), (flat % L1).astype(I32)
+
+
+def sample_per_seq(key, rs: ReplayState, batch: int):
+    """Episode-level prioritized sampling (Sample_impSeq,
+    Sampling.cpp:229-296): episodes weighted by average squared TD error,
+    then a uniform step within the episode."""
+    mask = rs.valid_steps().astype(F32)
+    n = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
+    avg_err = jnp.sum(rs.delta * rs.delta * mask, axis=1) / n
+    p = jnp.where(rs.valid_slots(), avg_err + 1e-3, 0.0)
+    p = p / jnp.maximum(jnp.sum(p), 1e-9)
+    k1, k2 = jax.random.split(key)
+    ep = jax.random.choice(k1, rs.n_slots, (batch,), p=p).astype(I32)
+    u = jax.random.uniform(k2, (batch,))
+    t = (u * rs.length[ep].astype(F32)).astype(I32)
+    return ep, jnp.clip(t, 0, rs.max_len)
+
+
+def sample(key, rs: ReplayState, batch: int, algo: str = "uniform"):
+    """Sampler dispatch (Sampling.cpp:298-336 factory from
+    dataSamplingAlgo)."""
+    if algo in ("uniform", "default"):
+        return sample_uniform(key, rs, batch)
+    if algo == "PERrank":
+        ep, t, _ = sample_per_rank(key, rs, batch)
+        return ep, t
+    if algo == "PERerr":
+        return sample_per_err(key, rs, batch)
+    if algo == "PERseq":
+        return sample_per_seq(key, rs, batch)
+    raise ValueError(f"unknown dataSamplingAlgo '{algo}'")
 
 
 # ---------------------------------------------------------------------------
