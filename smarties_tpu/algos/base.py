@@ -34,11 +34,25 @@ class MiniBatch(NamedTuple):
     per_w: jnp.ndarray       # [B] PER importance weight (1 for uniform)
 
 
+def stacked_states(rs: rb.ReplayState, ep, t, n_appended: int):
+    """Standardized net input with appended past observations
+    (Episode::standardizedState, Episode.h:171-183): frames ordered
+    [obs_t, obs_{t-1}, ...], clamped at the episode start."""
+    if n_appended == 0:
+        return (rs.states[ep, t] - rs.state_mean) * rs.state_scale
+    offs = jnp.arange(n_appended + 1)
+    tj = jnp.maximum(t[:, None] - offs[None, :], 0)       # [B, k+1]
+    frames = (rs.states[ep[:, None], tj]
+              - rs.state_mean) * rs.state_scale           # [B, k+1, dimS]
+    return frames.reshape(frames.shape[0], -1)
+
+
 def gather_minibatch(rs: rb.ReplayState, ep, t,
-                     per_w: Optional[jnp.ndarray] = None) -> MiniBatch:
-    s_t = (rs.states[ep, t] - rs.state_mean) * rs.state_scale
+                     per_w: Optional[jnp.ndarray] = None,
+                     n_appended: int = 0) -> MiniBatch:
+    s_t = stacked_states(rs, ep, t, n_appended)
     t1 = jnp.minimum(t + 1, rs.max_len)
-    s_t1 = (rs.states[ep, t1] - rs.state_mean) * rs.state_scale
+    s_t1 = stacked_states(rs, ep, t1, n_appended)
     length = rs.length[ep]
     is_last = (t + 1) == length
     terminal_next = is_last & rs.terminal[ep]

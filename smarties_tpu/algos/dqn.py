@@ -24,7 +24,8 @@ from smarties_tpu.algos.base import (default_metrics, gather_minibatch,
                                      post_step_processing, write_back,
                                      write_next_value)
 from smarties_tpu.core.mdp import MDPSpec
-from smarties_tpu.models.net import NetSpec, apply_net, init_params
+from smarties_tpu.models.net import (Conv2DDesc, NetSpec,
+                                     apply_net, init_params)
 from smarties_tpu.models.optim import (AdamConfig, AdamState, adam_init,
                                        adam_step, update_target)
 from smarties_tpu.ops import discrete_policy as dpol
@@ -49,6 +50,7 @@ class DQN:
         self.n_opts = mdp.max_action_label
         self.spec = NetSpec(
             n_in=mdp.dim_net_input, hidden=tuple(cfg.nnLayerSizes),
+                conv=tuple(Conv2DDesc(*c) for c in mdp.conv_layers),
             n_out=self.n_opts, kind=cfg.nnType, act=cfg.nnFunc,
             out_prefac=cfg.outWeightsPrefac)
         self.adam_cfg = AdamConfig(eta=cfg.learnrate, lambda_=cfg.nnLambda,
@@ -97,7 +99,8 @@ class DQN:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k_samp, = jax.random.split(key, 1)
         ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
-        mb = gather_minibatch(rs, ep, t)
+        mb = gather_minibatch(rs, ep, t,
+                              n_appended=self.mdp.n_appended_obs)
         opt = mb.action[..., 0].astype(jnp.int32)
 
         spec = self.spec

@@ -21,7 +21,8 @@ from smarties_tpu.algos.base import (default_metrics, gather_minibatch,
                                      post_step_processing, write_back,
                                      write_next_value)
 from smarties_tpu.core.mdp import MDPSpec
-from smarties_tpu.models.net import NetSpec, apply_net, init_params
+from smarties_tpu.models.net import (Conv2DDesc, NetSpec,
+                                     apply_net, init_params)
 from smarties_tpu.models.optim import (AdamConfig, AdamState, adam_init,
                                        adam_step, update_target)
 from smarties_tpu.ops import advantages as adv_ops
@@ -50,6 +51,7 @@ class NAF:
         sig0 = float(cp.initial_sigma_raw(cfg.explNoise))
         self.spec = NetSpec(
             n_in=mdp.dim_net_input, hidden=tuple(cfg.nnLayerSizes),
+                conv=tuple(Conv2DDesc(*c) for c in mdp.conv_layers),
             n_out=1 + self.nL + nA, kind=cfg.nnType, act=cfg.nnFunc,
             out_prefac=cfg.outWeightsPrefac,
             n_param_out=nA, param_init=tuple([sig0] * nA))

@@ -28,7 +28,8 @@ import numpy as np
 
 from smarties_tpu.algos.base import gather_minibatch, write_back
 from smarties_tpu.core.mdp import MDPSpec
-from smarties_tpu.models.net import NetSpec, apply_net, init_params
+from smarties_tpu.models.net import (Conv2DDesc, NetSpec,
+                                     apply_net, init_params)
 from smarties_tpu.models.optim import (AdamConfig, AdamState, adam_init,
                                        adam_step)
 from smarties_tpu.ops import continuous_policy as cp

@@ -32,7 +32,8 @@ from smarties_tpu.algos.base import (default_metrics, gather_minibatch,
                                      post_step_processing, write_back,
                                      write_next_value)
 from smarties_tpu.core.mdp import MDPSpec
-from smarties_tpu.models.net import NetSpec, apply_net, init_params
+from smarties_tpu.models.net import (Conv2DDesc, NetSpec,
+                                     apply_net, init_params)
 from smarties_tpu.models.optim import (AdamConfig, AdamState, adam_init,
                                        adam_step)
 from smarties_tpu.ops import advantages as adv_ops
@@ -71,6 +72,7 @@ class VRacer:
             self.adv_start, self.pol_start = 1, 1 + self.nL
             self.spec = NetSpec(
                 n_in=mdp.dim_net_input, hidden=tuple(cfg.nnLayerSizes),
+                conv=tuple(Conv2DDesc(*c) for c in mdp.conv_layers),
                 n_out=1 + self.nL + n_opts, kind=cfg.nnType, act=cfg.nnFunc,
                 out_prefac=cfg.outWeightsPrefac)
         else:
@@ -82,6 +84,7 @@ class VRacer:
                             if self.nL else []) + [0.0] * nA
             self.spec = NetSpec(
                 n_in=mdp.dim_net_input, hidden=tuple(cfg.nnLayerSizes),
+                conv=tuple(Conv2DDesc(*c) for c in mdp.conv_layers),
                 n_out=1 + self.nL + nA, kind=cfg.nnType, act=cfg.nnFunc,
                 out_prefac=cfg.outWeightsPrefac,
                 n_param_out=nA, param_init=tuple([sig0] * nA),
@@ -175,7 +178,8 @@ class VRacer:
         k_samp, = jax.random.split(key, 1)
 
         ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
-        mb = gather_minibatch(rs, ep, t)
+        mb = gather_minibatch(rs, ep, t,
+                              n_appended=self.mdp.n_appended_obs)
         a_t, mu_t, qret_t = mb.action, mb.mu, mb.qret
 
         spec = self.spec

@@ -43,6 +43,9 @@ class MDPSpec:
     # number of past observations appended to current (frame stacking),
     # reference: nAppendedObs (StateAction.h:58, Episode.h:171-183)
     n_appended_obs: int = 0
+    # conv preprocessing stack: tuples (in_w, in_h, in_c, out_c, filter,
+    # stride), reference: Conv2D_Descriptor via setPreprocessingConv2d
+    conv_layers: Tuple[Tuple[int, int, int, int, int, int], ...] = ()
     # agents within one env instance
     n_agents_per_env: int = 1
     # shared exploration noise across agents (Agent.h:315-362)

@@ -64,6 +64,27 @@ def activation(name: str):
 
 
 @dataclass(frozen=True)
+class Conv2DDesc:
+    """One conv layer (reference: Conv2D_Descriptor, Definitions.h:60-69,
+    set by Communicator::setPreprocessingConv2d). Valid padding, square
+    filters/strides, as in the reference Conv2DLayer."""
+    in_w: int
+    in_h: int
+    in_c: int
+    out_c: int
+    filter: int
+    stride: int
+
+    @property
+    def out_w(self) -> int:
+        return (self.in_w - self.filter) // self.stride + 1
+
+    @property
+    def out_h(self) -> int:
+        return (self.in_h - self.filter) // self.stride + 1
+
+
+@dataclass(frozen=True)
 class NetSpec:
     """Static architecture description (reference: Builder.cpp:27-180)."""
     n_in: int
@@ -76,6 +97,9 @@ class NetSpec:
     n_param_out: int = 0            # trainable param head size (stdev)
     param_init: Tuple[float, ...] = ()   # raw bias init of the param head
     out_bias_init: Tuple[float, ...] = ()
+    # conv preprocessing stack applied to the (flattened-image) input
+    # before the dense layers (Builder::addConv2d, Conv2Dfactory.h)
+    conv: Tuple[Conv2DDesc, ...] = ()
 
     @property
     def total_out(self) -> int:
@@ -90,10 +114,28 @@ def _uniform(key, shape, fac):
     return jax.random.uniform(key, shape, jnp.float32, -fac, fac)
 
 
+def _mlp_in_dim(spec: NetSpec) -> int:
+    """Dense-stack input size: conv output if a conv stack is present."""
+    if spec.conv:
+        c = spec.conv[-1]
+        return c.out_w * c.out_h * c.out_c
+    return spec.n_in
+
+
 def init_params(key, spec: NetSpec) -> Dict:
     """Build the parameter pytree."""
     params = {"layers": [], "out": {}, }
-    sizes = [spec.n_in] + list(spec.hidden)
+    if spec.conv:
+        kc = jax.random.fold_in(key, 999)
+        params["conv"] = []
+        for ci, c in enumerate(spec.conv):
+            fan_in = c.filter * c.filter * c.in_c
+            fac = _INIT_FACTOR["Relu"](fan_in, c.out_c)
+            params["conv"].append({
+                "W": _uniform(jax.random.fold_in(kc, ci),
+                              (c.filter, c.filter, c.in_c, c.out_c), fac),
+                "b": jnp.zeros((c.out_c,), jnp.float32)})
+    sizes = [_mlp_in_dim(spec)] + list(spec.hidden)
     keys = jax.random.split(key, len(spec.hidden) + 2)
     for li, (nin, nout) in enumerate(zip(sizes[:-1], sizes[1:])):
         k = keys[li]
@@ -180,6 +222,19 @@ def apply_net(params: Dict, spec: NetSpec, x, carry=()):
     """
     act = _ACTS[spec.act]
     h = x
+    if spec.conv:
+        lead = h.shape[:-1]
+        c0 = spec.conv[0]
+        # flattened input is [frame0; frame1; ...] (appended past obs,
+        # Episode::standardizedState) == CHW; convert to NHWC for XLA
+        h = h.reshape((-1, c0.in_c, c0.in_h, c0.in_w))
+        h = jnp.transpose(h, (0, 2, 3, 1))
+        for layer, c in zip(params["conv"], spec.conv):
+            h = jax.lax.conv_general_dilated(
+                h, layer["W"], (c.stride, c.stride), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            h = _ACTS["LRelu"](h + layer["b"])
+        h = h.reshape(lead + (-1,))
     new_carry = []
     for li, layer in enumerate(params["layers"]):
         if spec.kind == "FFNN":

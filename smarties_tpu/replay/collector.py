@@ -93,13 +93,23 @@ def make_rollout_chunk(env_module, mdp, act_fn: Callable,
 
         obs_full = env_module.observe(es)
         obs = mdp.observed(obs_full)
-        obs_std = (obs - rs.state_mean) * rs.state_scale
-        act, mu, val, adv, rnn = act_fn(params, obs_std, k_act, rnn)
-
         lane = jnp.arange(V)
         tcur = ip.t
+        ip = ip._replace(states=ip.states.at[lane, tcur].set(obs))
+        k_app = mdp.n_appended_obs
+        if k_app:
+            # frame stacking from the in-progress buffer, clamped at the
+            # episode start (Episode::standardizedState)
+            offs = jnp.arange(k_app + 1)
+            tj = jnp.maximum(tcur[:, None] - offs[None, :], 0)
+            frames = (ip.states[lane[:, None], tj]
+                      - rs.state_mean) * rs.state_scale
+            obs_std = frames.reshape(V, -1)
+        else:
+            obs_std = (obs - rs.state_mean) * rs.state_scale
+        act, mu, val, adv, rnn = act_fn(params, obs_std, k_act, rnn)
+
         ip = ip._replace(
-            states=ip.states.at[lane, tcur].set(obs),
             actions=ip.actions.at[lane, tcur].set(act),
             mus=ip.mus.at[lane, tcur].set(mu),
             value=ip.value.at[lane, tcur].set(val),

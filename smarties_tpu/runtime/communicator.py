@@ -85,6 +85,18 @@ class Communicator:
     def setIsPartiallyObservable(self, agent_id: int = 0):
         self._spec["partially_observable"] = True
 
+    def setPreprocessingConv2d(self, input_width: int, input_height: int,
+                               input_features: int, kernels_num: int,
+                               filters_size: int, stride: int,
+                               agent_id: int = 0):
+        """Append a conv layer to the preprocessing stack
+        (Communicator.cpp:135-160)."""
+        convs = list(self._spec.get("conv_layers", ()))
+        convs.append((int(input_width), int(input_height),
+                      int(input_features), int(kernels_num),
+                      int(filters_size), int(stride)))
+        self._spec["conv_layers"] = tuple(convs)
+
     # ---------------- episode flow (Communicator.h:52-88) ---------------
     def _send(self, status: int, state, reward: float, agent_id: int):
         if not self._spec_sent:
@@ -135,7 +147,8 @@ def spec_to_mdp(spec: dict):
         "env must call setStateActionDims before sending states"
     kw = dict(dim_state=dim_s, dim_action=dim_a,
               n_agents_per_env=spec.get("n_agents", 1),
-              n_appended_obs=spec.get("n_appended_obs", 0))
+              n_appended_obs=spec.get("n_appended_obs", 0),
+              conv_layers=spec.get("conv_layers", ()))
     if spec.get("discrete_values"):
         kw["discrete_values"] = spec["discrete_values"]
     else:

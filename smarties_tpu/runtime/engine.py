@@ -242,8 +242,22 @@ class Engine:
                             rew_file.write(f"{n_grad} {n_env_steps} "
                                            f"{lane} {T} {ret}\n")
                 # ---- act on pending requests (batched) ----
-                obs = mdp.observed(jnp.asarray(states, jnp.float32))
-                obs_std = (obs - rs.state_mean) * rs.state_scale
+                k_app = mdp.n_appended_obs
+                if k_app:
+                    # frame stacking from per-lane history (clamped at the
+                    # episode start, Episode::standardizedState)
+                    stacked = np.stack([
+                        np.concatenate([
+                            ln.obs[max(len(ln.obs) - 1 - j, 0)]
+                            for j in range(k_app + 1)])
+                        for ln in lanes])
+                    obs = jnp.asarray(stacked, jnp.float32)
+                else:
+                    obs = mdp.observed(jnp.asarray(states, jnp.float32))
+                n_tile = k_app + 1
+                obs_std = ((obs.reshape(obs.shape[0], n_tile, -1)
+                            - rs.state_mean) * rs.state_scale
+                           ).reshape(obs.shape[0], -1)
                 key, k_act = jax.random.split(key)
                 a, mu, val, adv, _ = act_jit(params, obs_std, k_act)
                 env_act = np.asarray(mdp.learner_to_env_action(a),

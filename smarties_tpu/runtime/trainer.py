@@ -311,9 +311,20 @@ class Trainer:
         rs = self.replay
         rnn = (self.algo.init_rnn(n_episodes)
                if hasattr(self.algo, "init_rnn") else ())
+        k_app = self.mdp.n_appended_obs
+        hist = None
         for _ in range(max_steps):
             obs = self.mdp.observed(self.env.observe(es))
-            obs_std = (obs - rs.state_mean) * rs.state_scale
+            if k_app:
+                if hist is None:
+                    hist = [obs] * (k_app + 1)
+                else:
+                    hist = [obs] + hist[:k_app]
+                frames = jnp.stack(hist, axis=1)      # [N, k+1, dimS]
+                obs_std = ((frames - rs.state_mean) * rs.state_scale
+                           ).reshape(obs.shape[0], -1)
+            else:
+                obs_std = (obs - rs.state_mean) * rs.state_scale
             self.key, k = jax.random.split(self.key)
             a, _, _, _, rnn = act(self.params, obs_std, k, rnn)
             # NaN guard (reference: Agent::checkNanOrInf, Agent.h:301-313)
