@@ -147,9 +147,14 @@ class Engine:
         self.max_ep_len = n
 
     # ---------------- main loop (Engine::run, Master/Worker) ------------
-    def run(self, app_main: Callable, max_wall_s: float = float("inf")):
+    def run(self, app_main: Callable, max_wall_s: float = float("inf"),
+            pool=None):
+        """app_main: python callable run in forked workers; OR pass a
+        ready-made pool (e.g. runtime.socket_pool.SocketEnvPool for native
+        C++/Fortran apps) and app_main is ignored."""
         cfg = self.cfg
-        pool = EnvPool(app_main, self.n_envs, seed=cfg.randSeed)
+        if pool is None:
+            pool = EnvPool(app_main, self.n_envs, seed=cfg.randSeed)
         mdp = pool.probe_spec()
         self.mdp = mdp
 
