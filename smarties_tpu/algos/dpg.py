@@ -81,6 +81,13 @@ class DPG:
         params = {"net": net, "tgt": jax.tree_util.tree_map(jnp.copy, net)}
         return params, adam_init(net)
 
+    def init_rnn(self, n_envs: int):
+        """Per-env Ornstein-Uhlenbeck noise state (OrUhState analog,
+        DPG.h/NAF.h; zeroed on episode end by the collector)."""
+        if self.ou_decay > 0:
+            return (jnp.zeros((n_envs, self.mdp.dim_action)),)
+        return ()
+
     # ------------------------------------------------------------------
     def _feat(self, net, x):
         if self.has_enc:
@@ -108,7 +115,11 @@ class DPG:
             feat = self._feat(net, obs_std)
             mean, sraw = self._actor(net, feat)
             sigma = cp.sigma_of(sraw)
-            if sample:
+            if sample and self.ou_decay > 0:
+                noise = cp.clipped_normal(key, mean.shape, mean.dtype)
+                a, ou = cp.sample_ou(noise, rnn[0], mean, sigma, bounded)
+                rnn = (ou,)
+            elif sample:
                 a = cp.sample(key, mean, sigma, bounded)
             else:
                 a = cp.eff_mean(mean, bounded)

@@ -68,6 +68,13 @@ class NAF:
         params = {"net": net, "tgt": jax.tree_util.tree_map(jnp.copy, net)}
         return params, adam_init(net)
 
+    def init_rnn(self, n_envs: int):
+        """Per-env Ornstein-Uhlenbeck noise state (OrUhState analog,
+        DPG.h/NAF.h; zeroed on episode end by the collector)."""
+        if self.ou_decay > 0:
+            return (jnp.zeros((n_envs, self.mdp.dim_action)),)
+        return ()
+
     def _split(self, out):
         nA = self.mdp.dim_action
         v = out[..., 0]
@@ -92,10 +99,15 @@ class NAF:
         sample = train and self.cfg.explNoise > 0
 
         def act(params, obs_std, key, rnn=()):
-            out, rnn = apply_net(params["net"], spec, obs_std, rnn)
+            # NAF is feed-forward; the carry slot holds the OU noise state
+            out, _ = apply_net(params["net"], spec, obs_std)
             v, l_out, mean, sraw = self._split(out)
             sigma = cp.sigma_of(sraw)
-            if sample:
+            if sample and self.ou_decay > 0:
+                noise = cp.clipped_normal(key, mean.shape, mean.dtype)
+                a, ou = cp.sample_ou(noise, rnn[0], mean, sigma, bounded)
+                rnn = (ou,)
+            elif sample:
                 a = cp.sample(key, mean, sigma, bounded)
             else:
                 a = cp.eff_mean(mean, bounded)

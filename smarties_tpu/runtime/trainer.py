@@ -233,6 +233,12 @@ class Trainer:
             if (self.n_grad_steps - self._last_log) >= log_every:
                 self._last_log = self.n_grad_steps
                 self.log_status()
+            # periodic checkpoint (saveFreq, Learner.cpp:146)
+            if (self.run_dir and self.n_grad_steps //
+                    self.cfg.saveFreq > getattr(self, "_last_save", 0)
+                    // self.cfg.saveFreq):
+                self._last_save = self.n_grad_steps
+                self.save(os.path.join(self.run_dir, "checkpoint.pkl"))
 
     # ------------------------------------------------------------------
     def _train_on_policy(self, n_grad_steps: int, log_every: int = 1000,
