@@ -1,0 +1,1 @@
+from smarties_tpu.envs import cartpole, predator_prey

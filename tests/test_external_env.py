@@ -1,0 +1,61 @@
+"""External-environment (Communicator/Engine) integration tests.
+
+Reference analog: running the cart_pole demo apps through the full
+fork+socket serving stack (README.rst:226-260).
+"""
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import smarties_tpu
+from smarties_tpu.utils.config import HyperParameters
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "apps", "cart_pole_py"))
+
+
+def small_cfg():
+    return HyperParameters(minTotObsNum=256, maxTotObsNum=2048,
+                           batchSize=32, nnLayerSizes=[32, 32])
+
+
+class TestPythonApp:
+    def test_engine_trains_from_app(self, tmp_path):
+        from exec import app_main
+        e = smarties_tpu.Engine([])
+        e.setNEnvironments(2)
+        e.setSettings(small_cfg())
+        e.setNTrainSteps(60)
+        e.setMaxEpisodeLength(256)
+        e.run_dir = str(tmp_path)
+        e.run(app_main, max_wall_s=90)
+        assert e.n_grad_steps >= 60
+        assert int(e.replay.n_stored_steps()) > 0
+        # cumulative-rewards file written in the reference's row format
+        dat = os.path.join(str(tmp_path),
+                           "agent_00_rank00_cumulative_rewards.dat")
+        rows = np.loadtxt(dat, ndmin=2)
+        assert rows.shape[1] == 5 and rows.shape[0] > 0
+
+
+class TestNativeApp:
+    @pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+    def test_cpp_app_trains(self):
+        root = os.path.join(os.path.dirname(__file__), "..")
+        subprocess.run(["make", "-C", os.path.join(root, "native")],
+                       check=True, capture_output=True)
+        from smarties_tpu.runtime.socket_pool import SocketEnvPool
+        pool = SocketEnvPool(
+            [os.path.join(root, "native", "build", "cart_pole_cpp")],
+            n_envs=2)
+        e = smarties_tpu.Engine([])
+        e.setSettings(small_cfg())
+        e.setNTrainSteps(40)
+        e.setMaxEpisodeLength(256)
+        e.run(None, max_wall_s=90, pool=pool)
+        assert e.n_grad_steps >= 40
+        assert int(e.replay.n_stored_steps()) > 0
