@@ -31,6 +31,9 @@ def make_learner(mdp: MDPSpec, cfg: HyperParameters):
     if name in ("PPO", "GAE"):
         from smarties_tpu.algos.ppo import PPO
         return PPO(mdp, cfg)
+    if name == "MixedPG":
+        from smarties_tpu.algos.mixedpg import MixedPG
+        return MixedPG(mdp, cfg)
     if name == "ACER":
         from smarties_tpu.algos.acer import ACER
         return ACER(mdp, cfg)

@@ -149,7 +149,10 @@ class VRacer:
                         rnn)
             sigma = cp.sigma_of(sraw)
             if train:
-                a = cp.sample(key, pol, sigma, bounded)
+                share = (mdp.n_agents_per_env
+                         if mdp.shared_noise else 1)
+                a = cp.sample(key, pol, sigma, bounded,
+                              share_agents=share)
             else:
                 a = cp.eff_mean(pol, bounded)
             mu = cp.mu_vector(pol, sigma, bounded)

@@ -174,11 +174,21 @@ def clipped_normal(key, shape, dtype=jnp.float32):
     return jnp.where(jnp.abs(z) > NORMDIST_MAX, u, z)
 
 
-def sample(key, mean, sigma, bounded):
+def sample(key, mean, sigma, bounded, share_agents: int = 1):
     """Draw a learner-space action. Squashed dims clip to +-MEAN_MAX
-    (SquashedNormalPolicy::sample, Continuous_policy.h:355-359)."""
+    (SquashedNormalPolicy::sample, Continuous_policy.h:355-359).
+
+    share_agents > 1: consecutive groups of that many leading rows share
+    ONE noise draw — the reference's bAgentsShareNoise tic/toc scheme
+    (Agent::sampleActionNoise, Agent.h:315-342) for multi-agent envs."""
     m_eff = eff_mean(mean, bounded)
-    z = clipped_normal(key, mean.shape, mean.dtype)
+    if share_agents > 1:
+        g = mean.shape[0] // share_agents
+        z = clipped_normal(key, (g, 1) + mean.shape[1:], mean.dtype)
+        z = jnp.broadcast_to(z, (g, share_agents) + mean.shape[1:]
+                             ).reshape(mean.shape)
+    else:
+        z = clipped_normal(key, mean.shape, mean.dtype)
     a = m_eff + sigma * z
     b = jnp.asarray(bounded)
     return jnp.where(b, jnp.clip(a, -MEAN_MAX, MEAN_MAX), a)

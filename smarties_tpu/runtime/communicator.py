@@ -85,6 +85,11 @@ class Communicator:
     def setIsPartiallyObservable(self, agent_id: int = 0):
         self._spec["partially_observable"] = True
 
+    def agentsShareExplorationNoise(self, agent_id: int = 0):
+        """All agents of one env draw the same exploration noise each step
+        (Communicator.h:133, Agent.h:315-342)."""
+        self._spec["shared_noise"] = True
+
     def setPreprocessingConv2d(self, input_width: int, input_height: int,
                                input_features: int, kernels_num: int,
                                filters_size: int, stride: int,
@@ -148,7 +153,8 @@ def spec_to_mdp(spec: dict):
     kw = dict(dim_state=dim_s, dim_action=dim_a,
               n_agents_per_env=spec.get("n_agents", 1),
               n_appended_obs=spec.get("n_appended_obs", 0),
-              conv_layers=spec.get("conv_layers", ()))
+              conv_layers=spec.get("conv_layers", ()),
+              shared_noise=spec.get("shared_noise", False))
     if spec.get("discrete_values"):
         kw["discrete_values"] = spec["discrete_values"]
     else:

@@ -100,6 +100,7 @@ class Engine:
         self.run_dir = None
         self.restart_path = None
         self.max_ep_len = 1024
+        self.n_eval_episodes = 32   # --nEvalEpisodes when bTrain == 0
         self._parsed = False
 
     # ---------------- CLI (ExecutionInfo::parse, :95-170) ---------------
@@ -210,8 +211,20 @@ class Engine:
         init_stats_jit = jax.jit(algo.initialize_stats)
 
         lanes = [_EpisodeAssembler() for _ in range(pool.n_lanes)]
+        start_env_steps = 0
         obs_idx = np.nonzero(mdp.observable_mask)[0]  # replay stores
         # observed dims only (latent dims are app-side, StateAction.h:125)
+        # eval mode (bTrain == 0, --nEvalEpisodes): serve deterministic
+        # actions, no training (Engine.cpp:92-95, Worker.cpp:91-111)
+        eval_mode = not cfg.bTrain
+        eval_episodes_done = 0
+        eval_returns = []
+        obs_file = None
+        if self.run_dir:
+            # raw obs logging (Agent::writeData analog, Agent.h:259-299):
+            # f32 rows [lane, status, state..., reward]
+            obs_file = open(os.path.join(self.run_dir,
+                                         "agent_00_rank00_obs.raw"), "ab")
         n_env_steps = 0
         n_grad = 0
         initialized = False
@@ -222,13 +235,36 @@ class Engine:
             rew_file = open(os.path.join(
                 self.run_dir, "agent_00_rank00_cumulative_rewards.dat"), "a")
 
+        # restart from a checkpoint (Engine::setRestartFolderPath)
+        if self.restart_path and os.path.exists(self.restart_path):
+            import pickle
+            with open(self.restart_path, "rb") as f:
+                snap = pickle.load(f)
+            params = jax.tree_util.tree_map(jnp.asarray, snap["params"])
+            opt_state = jax.tree_util.tree_map(jnp.asarray,
+                                               snap["opt_state"])
+            rs = jax.tree_util.tree_map(jnp.asarray, snap["replay"])
+            n_grad = snap.get("n_grad_steps", 0)
+            n_env_steps = snap.get("n_env_steps", 0)
+            initialized = snap.get("initialized", True)
+            start_env_steps = snap.get("start_env_steps",
+                                       max(0, n_env_steps - n_grad))
+
         t0 = time.time()
         try:
             while n_grad < self.train_steps and \
                     time.time() - t0 < max_wall_s:
+                if eval_mode and eval_episodes_done >= self.n_eval_episodes:
+                    break
                 # ---- serve all envs one round ----
                 events, states, rewards, statuses = pool.gather_states()
                 for lane, status, state, reward in events:
+                    if obs_file is not None:
+                        row = np.concatenate([[lane, status], state,
+                                              [reward]]).astype(np.float32)
+                        obs_file.write(row.tobytes())
+                    if eval_mode and status in (TERM, LAST):
+                        eval_episodes_done += 1
                     if status == INIT:
                         lanes[lane].reset()
                         lanes[lane].add_state(state[obs_idx], 0.0)
@@ -275,6 +311,8 @@ class Engine:
                 pool.send_actions(env_act)
 
                 # ---- training, paced by obsPerStep ----
+                if eval_mode:
+                    continue
                 if not initialized:
                     if int(rs.n_stored_steps()) >= cfg.minTotObsNum:
                         rs = init_stats_jit(rs)
@@ -296,6 +334,21 @@ class Engine:
             pool.kill()
             if rew_file:
                 rew_file.close()
+            if obs_file:
+                obs_file.close()
         self.params, self.opt_state, self.replay = params, opt_state, rs
         self.n_grad_steps, self.n_env_steps = n_grad, n_env_steps
+        if self.run_dir and not eval_mode:
+            import pickle
+            snap = {"params": jax.device_get(params),
+                    "opt_state": jax.device_get(opt_state),
+                    "replay": jax.device_get(rs),
+                    "n_grad_steps": n_grad, "n_env_steps": n_env_steps,
+                    "initialized": initialized,
+                    "start_env_steps": start_env_steps,
+                    "cfg": cfg.to_dict()}
+            tmp = os.path.join(self.run_dir, "checkpoint.pkl.tmp")
+            with open(tmp, "wb") as f:
+                pickle.dump(snap, f)
+            os.replace(tmp, os.path.join(self.run_dir, "checkpoint.pkl"))
         return params
