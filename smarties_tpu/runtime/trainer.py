@@ -117,6 +117,9 @@ class Trainer:
             self.key, k_tr = jax.random.split(self.key)
             self._train_keys = jax.random.split(k_tr, n_shards)
 
+        # phase profiler (Utils/Profiler analog; ROLL/TRAIN/REFRESH keys)
+        from smarties_tpu.utils.profiler import Profiler
+        self.profiler = Profiler()
         # counters (ReplayStatsCounters analog; host side for pacing)
         self.n_env_steps = 0          # nSeenTransitions_loc
         self.n_grad_steps = 0
@@ -132,7 +135,9 @@ class Trainer:
         return self.carry.replay
 
     def _roll(self, n_steps: int):
-        self.carry, logs = self._rollout(self.params, self.carry, n_steps)
+        with self.profiler("ROLL"):
+            self.carry, logs = self._rollout(self.params, self.carry,
+                                             n_steps)
         self.n_env_steps += n_steps * self.n_envs
         self._log_episodes(logs)
 
@@ -206,24 +211,26 @@ class Trainer:
             n_tr = Q if allowed >= Q else max(0, allowed)
             if n_tr > 0:
                 rs = self.carry.replay
-                if self.mesh is None:
-                    self.key, k = jax.random.split(self.key)
-                    self.params, self.opt_state, rs, metrics = \
-                        self._train_chunk(self.params, self.opt_state, rs,
-                                          k, n_tr)
-                else:
-                    (self.params, self.opt_state, rs, metrics,
-                     self._train_keys) = self._train_sharded(
-                        self.params, self.opt_state, rs, self._train_keys,
-                        n_tr)
+                with self.profiler("TRAIN"):
+                    if self.mesh is None:
+                        self.key, k = jax.random.split(self.key)
+                        self.params, self.opt_state, rs, metrics = \
+                            self._train_chunk(self.params, self.opt_state,
+                                              rs, k, n_tr)
+                    else:
+                        (self.params, self.opt_state, rs, metrics,
+                         self._train_keys) = self._train_sharded(
+                            self.params, self.opt_state, rs,
+                            self._train_keys, n_tr)
                 self.carry = self.carry._replace(replay=rs)
                 self.n_grad_steps += n_tr
                 self._last_metrics = metrics
                 if self.n_grad_steps // 1000 > self._last_refresh // 1000:
                     self._last_refresh = self.n_grad_steps
-                    self.carry = self.carry._replace(
-                        replay=self._refresh(self.carry.replay,
-                                             float(self.n_grad_steps)))
+                    with self.profiler("REFRESH"):
+                        self.carry = self.carry._replace(
+                            replay=self._refresh(self.carry.replay,
+                                                 float(self.n_grad_steps)))
             if not self.block_data():
                 # fixed-size rollout chunk (one compiled variant): enough
                 # sweeps to allow ~Q more grad steps
@@ -293,7 +300,7 @@ class Trainer:
                 replay=clear_all(self.carry.replay))
 
     # ------------------------------------------------------------------
-    def log_status(self):
+    def log_status(self, full: bool = False):
         rs = self.replay
         avg_r = (np.mean(self._ep_returns[-100:])
                  if self._ep_returns else float("nan"))
@@ -304,6 +311,13 @@ class Trainer:
               f" | dkl {get('avg_dkl'):.4f} | rmse {get('rmse'):.3f}"
               f" | nEp {int(rs.n_stored_eps())}"
               f" | nObs {int(rs.n_stored_steps())}", flush=True)
+        if full:
+            from smarties_tpu.utils.stats import (iw_histogram,
+                                                  stats_header, stats_row)
+            print(stats_header())
+            print(stats_row(rs, self.n_grad_steps))
+            print(iw_histogram(rs))
+            print("profiler:\n" + self.profiler.table(), flush=True)
 
     # ------------------------------------------------------------------
     def evaluate(self, n_episodes: int = 10, max_steps: int = 1000):
