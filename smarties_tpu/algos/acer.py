@@ -309,6 +309,14 @@ class ACER:
         # write-backs over the whole window (setMseDklImpw/setValues)
         epw = jnp.broadcast_to(ep[:, None], (B, S))
         tww = jnp.where(act_s, twc[:, :S], rs.max_len + 1)
+        # incremental far-count maintenance over the written window
+        was_far = rb.is_far_policy(rs.rho[epw, jnp.minimum(tww, rs.max_len)],
+                                   rs.cmax_ret, rs.cinv_ret) & act_s
+        now_far = rb.is_far_policy(rho[:, :S], rs.cmax_ret,
+                                   rs.cinv_ret) & act_s
+        d_far = jnp.sum(now_far.astype(jnp.float32)
+                        - was_far.astype(jnp.float32), axis=1)
+        rs = rs._replace(far_count=rs.far_count.at[ep].add(d_far))
         rs = rs._replace(
             rho=rs.rho.at[epw, tww].set(rho[:, :S], mode="drop"),
             kl=rs.kl.at[epw, tww].set(dkl[:, :S], mode="drop"),

@@ -69,14 +69,22 @@ def gather_minibatch(rs: rb.ReplayState, ep, t,
 
 def write_back(rs: rb.ReplayState, mb: MiniBatch, rho, dkl, delta,
                value, advantage) -> rb.ReplayState:
-    """MiniBatch::setMseDklImpw + setValues (MiniBatch.h:161-188)."""
+    """MiniBatch::setMseDklImpw + setValues (MiniBatch.h:161-188).
+
+    Also maintains the incremental per-slot far-policy counts (the
+    reference's Episode::updateCumulative_atomic, Episode.h:112-129:
+    wasFarPol/isFarPol delta applied on every sampled write)."""
     ep, t = mb.ep, mb.t
+    was_far = rb.is_far_policy(rs.rho[ep, t], rs.cmax_ret, rs.cinv_ret)
+    is_far = rb.is_far_policy(rho, rs.cmax_ret, rs.cinv_ret)
+    delta_far = is_far.astype(jnp.float32) - was_far.astype(jnp.float32)
     return rs._replace(
         rho=rs.rho.at[ep, t].set(rho),
         kl=rs.kl.at[ep, t].set(dkl),
         delta=rs.delta.at[ep, t].set(delta),
         value=rs.value.at[ep, t].set(value),
         advantage=rs.advantage.at[ep, t].set(advantage),
+        far_count=rs.far_count.at[ep].add(delta_far),
     )
 
 

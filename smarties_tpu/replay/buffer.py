@@ -63,6 +63,11 @@ class ReplayState(NamedTuple):
     n_seen_steps: jnp.ndarray    # i32 total transitions ever stored
     n_pruned_eps: jnp.ndarray    # i32
     max_abs_error: jnp.ndarray   # stats.maxAbsError running est.
+    # per-slot far-policy step counts, maintained incrementally by the
+    # sampled-write-back path (the reference's per-episode fracFarPolSteps
+    # aggregates updated atomically on sampling, Episode.h:112-145) and
+    # recomputed exactly at every refresh sweep
+    far_count: jnp.ndarray       # [E] f32
 
     # ---------------- derived masks / counts ----------------
     @property
@@ -121,6 +126,7 @@ def init_replay(n_slots: int, max_len: int, dim_state: int, dim_action: int,
         rew_scale=jnp.float32(1.0),
         n_seen_eps=jnp.int32(0), n_seen_steps=jnp.int32(0),
         n_pruned_eps=jnp.int32(0), max_abs_error=jnp.float32(0.0),
+        far_count=jnp.zeros((E,), F32),
     )
 
 
@@ -146,9 +152,21 @@ def is_far_policy(rho, cmax, cinv):
     return (cmax > 1.0) & off
 
 
-def n_far_policy_steps(rs: ReplayState):
+def n_far_policy_steps_exact(rs: ReplayState):
+    """Full-buffer recount (used at refresh sweeps to correct drift)."""
     far = is_far_policy(rs.rho, rs.cmax_ret, rs.cinv_ret) & rs.valid_steps()
     return jnp.sum(far.astype(I32))
+
+
+def far_count_exact(rs: ReplayState):
+    """Per-slot exact far-policy counts [E]."""
+    far = is_far_policy(rs.rho, rs.cmax_ret, rs.cinv_ret) & rs.valid_steps()
+    return jnp.sum(far.astype(F32), axis=1)
+
+
+def n_far_policy_steps(rs: ReplayState):
+    """Incrementally-maintained total (one [E] reduction per call)."""
+    return jnp.sum(rs.far_count).astype(I32)
 
 
 # ---------------------------------------------------------------------------
@@ -222,6 +240,8 @@ def commit_episodes(rs: ReplayState, ep_states, ep_actions, ep_mus,
         length=put(rs.length, ep_length),
         terminal=put(rs.terminal, ep_terminal),
         ep_id=put(rs.ep_id, new_ids),
+        # fresh episodes arrive with rho == 1 everywhere: zero far steps
+        far_count=put(rs.far_count, jnp.zeros(V, F32)),
         n_seen_eps=rs.n_seen_eps + n_done,
         n_seen_steps=rs.n_seen_steps + jnp.sum(
             jnp.where(done_mask, ep_length, 0)),
@@ -248,6 +268,7 @@ def prune_to_capacity(rs: ReplayState, max_tot_obs: int, filter_algo: str):
     return rs._replace(
         ep_id=jnp.where(keep, rs.ep_id, -1),
         length=jnp.where(keep, rs.length, 0),
+        far_count=jnp.where(keep, rs.far_count, 0.0),
         n_pruned_eps=rs.n_pruned_eps + pruned,
     )
 
@@ -478,8 +499,11 @@ def recompute_returns(rs: ReplayState, gamma: float, lam: float,
     Reference cadence: at episode ingest (MemoryBuffer.cpp:118-170) and full
     sweeps every 1000 grad steps / after scaling updates
     (updateTrainingStatistics + rescaleAllReturnEstimator,
-    MemoryProcessing.cpp:187-259, :460-481).
+    MemoryProcessing.cpp:187-259, :460-481). Also resyncs the incremental
+    far-policy counts exactly (the reference's bRecomputeProperties
+    updateCumulative sweep).
     """
+    rs = rs._replace(far_count=far_count_exact(rs))
     if mode == "none":
         return rs
     qret = batched_return_estimate(

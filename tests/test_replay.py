@@ -91,9 +91,10 @@ class TestReferRules:
     def test_beta_decreases_when_far(self):
         rs = make_replay()
         rs = commit_one(rs, 8)
-        # poison rho: all far-policy
+        # poison rho: all far-policy (resync the incremental counts)
         rs = rs._replace(rho=jnp.full_like(rs.rho, 100.0),
                          beta=jnp.float32(0.5))
+        rs = rs._replace(far_count=rb.far_count_exact(rs))
         rs2, frac = rb.update_beta_alpha(rs, 32, 100, 0.1)
         assert float(frac) == 1.0
         assert float(rs2.beta) < 0.5
