@@ -102,15 +102,23 @@ class ReplayState(NamedTuple):
 
 
 def init_replay(n_slots: int, max_len: int, dim_state: int, dim_action: int,
-                dim_policy: int, clip_imp_weight: float = 4.0) -> ReplayState:
+                dim_policy: int, clip_imp_weight: float = 4.0,
+                state_dtype=jnp.float32) -> ReplayState:
     """Initial scalars follow MemoryBuffer.h:41-44: beta starts at 1e-4
     (near-full KL-penalty mode) when ReF-ER clipping is active, CmaxRet at
-    1 + C, CinvRet at 1/C."""
+    1 + C, CinvRet at 1/C.
+
+    state_dtype: storage dtype for raw states — pass jnp.uint8 for image
+    observations (Atari-scale buffers; the reference stores Fval=f32 but
+    has no per-episode padding; byte storage keeps the padded slot layout
+    within HBM). Standardization promotes to f32 at gather time.
+    """
     E, L1 = n_slots, max_len + 1
     C = clip_imp_weight
     z = lambda *s: jnp.zeros(s, F32)
     return ReplayState(
-        states=z(E, L1, dim_state), actions=z(E, L1, dim_action),
+        states=jnp.zeros((E, L1, dim_state), state_dtype),
+        actions=z(E, L1, dim_action),
         mus=z(E, L1, dim_policy), rewards=z(E, L1),
         length=jnp.zeros((E,), I32), terminal=jnp.zeros((E,), bool),
         ep_id=-jnp.ones((E,), I32),

@@ -38,11 +38,12 @@ class InProgress(NamedTuple):
 
 
 def init_inprogress(n_envs: int, max_len: int, dim_obs: int, dim_action: int,
-                    dim_policy: int) -> InProgress:
+                    dim_policy: int, state_dtype=F32) -> InProgress:
     V, L1 = n_envs, max_len + 1
     z = lambda *s: jnp.zeros(s, F32)
     return InProgress(
-        states=z(V, L1, dim_obs), actions=z(V, L1, dim_action),
+        states=jnp.zeros((V, L1, dim_obs), state_dtype),
+        actions=z(V, L1, dim_action),
         mus=z(V, L1, dim_policy), rewards=z(V, L1),
         value=z(V, L1), advantage=z(V, L1),
         t=jnp.zeros((V,), I32), cum_reward=jnp.zeros((V,), F32))
@@ -51,7 +52,7 @@ def init_inprogress(n_envs: int, max_len: int, dim_obs: int, dim_action: int,
 def _reset_lanes(ip: InProgress, mask) -> InProgress:
     m2 = mask[:, None]
     m3 = mask[:, None, None]
-    z = lambda a, m: jnp.where(m, 0.0, a)
+    z = lambda a, m: jnp.where(m, jnp.zeros_like(a), a)
     return InProgress(
         states=z(ip.states, m3), actions=z(ip.actions, m3),
         mus=z(ip.mus, m3), rewards=z(ip.rewards, m2),
@@ -95,7 +96,8 @@ def make_rollout_chunk(env_module, mdp, act_fn: Callable,
         obs = mdp.observed(obs_full)
         lane = jnp.arange(V)
         tcur = ip.t
-        ip = ip._replace(states=ip.states.at[lane, tcur].set(obs))
+        ip = ip._replace(states=ip.states.at[lane, tcur].set(
+            obs.astype(ip.states.dtype)))
         k_app = mdp.n_appended_obs
         if k_app:
             # frame stacking from the in-progress buffer, clamped at the
@@ -133,7 +135,8 @@ def make_rollout_chunk(env_module, mdp, act_fn: Callable,
         obs2 = mdp.observed(env_module.observe(es2))
         ip = ip._replace(
             states=jnp.where(done[:, None, None],
-                             ip.states.at[lane, tnew].set(obs2), ip.states))
+                             ip.states.at[lane, tnew].set(
+                                 obs2.astype(ip.states.dtype)), ip.states))
 
         # per-lane rho template: 1 for t<T, 0 at T (Episode::finalize,
         # Episode.cpp:244-267)

@@ -33,7 +33,7 @@ class Trainer:
     def __init__(self, env_module, mdp: MDPSpec, cfg: HyperParameters,
                  n_envs: int = 64, n_slots: Optional[int] = None,
                  max_len: int = 512, run_dir: Optional[str] = None,
-                 algo_cls=VRacer, mesh=None):
+                 algo_cls=VRacer, mesh=None, state_dtype=None):
         """mesh: optional jax.sharding.Mesh with a "learners" axis — shards
         the replay (slot axis) and envs (lane axis) across devices with
         psum'd gradients, the analog of the reference's --nLearners K MPI
@@ -64,11 +64,14 @@ class Trainer:
         self.key = key
         self.params, self.opt_state = self.algo.init(k_init)
 
+        import jax.numpy as _jnp
+        sdt = state_dtype or _jnp.float32
         self.rs = rb.init_replay(
             n_slots, max_len, mdp.dim_state_observed, mdp.dim_action,
-            mdp.dim_policy, cfg.clipImpWeight)
+            mdp.dim_policy, cfg.clipImpWeight, state_dtype=sdt)
         ip = init_inprogress(n_envs, max_len, mdp.dim_state_observed,
-                             mdp.dim_action, mdp.dim_policy)
+                             mdp.dim_action, mdp.dim_policy,
+                             state_dtype=sdt)
         env_state = env_module.init(k_env, n_envs)
         key, k_roll = jax.random.split(self.key)
         self.key = key
