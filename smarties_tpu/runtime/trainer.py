@@ -165,9 +165,23 @@ class Trainer:
     # ------------------------------------------------------------------
     def warmup(self, chunk: int = 64):
         """Gather minTotObsNum observations before training
-        (stepInit task, RACER.cpp:69-77)."""
+        (stepInit task, RACER.cpp:69-77).
+
+        Chunk size adapts to the remaining gap counting in-progress
+        episode steps, so long-episode envs do not overshoot the start
+        threshold by whole chunk multiples (the reference serves envs one
+        step at a time, so its overshoot is only the in-flight episodes)."""
         while int(self.replay.n_stored_steps()) < self.n_obs_b4_start:
-            self._roll(chunk)
+            in_flight = int(jnp.sum(self.carry.inprog.t))
+            remaining = (self.n_obs_b4_start
+                         - int(self.replay.n_stored_steps()) - in_flight)
+            n = max(1, min(chunk, int(np.ceil(
+                max(remaining, self.n_envs) / self.n_envs))))
+            # quantize to powers of two: each distinct chunk length is a
+            # separate XLA compilation
+            n = 1 << (n - 1).bit_length() if n > 1 else 1
+            n = min(n, chunk)
+            self._roll(n)
         self.carry = self.carry._replace(
             replay=self._init_stats(self.carry.replay))
         self._initialized = True
