@@ -14,9 +14,16 @@ from smarties_tpu.utils.config import HyperParameters
 def make_learner(mdp: MDPSpec, cfg: HyperParameters):
     name = cfg.learner
     if name in ("VRACER", "default"):
+        if cfg.ESpopSize > 1:
+            from smarties_tpu.algos.racer_es import RacerES
+            return RacerES(mdp, cfg)  # VRACER_CMA derivative-free path
         from smarties_tpu.algos.vracer import VRacer
         return VRacer(mdp, cfg)       # discrete auto-rewrites to RACER
     if name == "RACER":
+        if cfg.ESpopSize > 1:
+            from smarties_tpu.algos.racer_es import RacerES
+            return RacerES(mdp, cfg, adv_kind="discrete"
+                           if mdp.is_discrete else "gaussian")
         from smarties_tpu.algos.vracer import Racer
         return Racer(mdp, cfg)
     if name in ("DQN", "NFQ"):

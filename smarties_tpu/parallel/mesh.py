@@ -39,7 +39,8 @@ def replay_pspec(rs) -> "ReplayStatePSpec":
     """PartitionSpec pytree for a ReplayState: slot-axis sharded arrays,
     replicated scalars/stat vectors."""
     sharded = {"states", "actions", "mus", "rewards", "length", "terminal",
-               "ep_id", "value", "advantage", "qret", "rho", "kl", "delta"}
+               "ep_id", "value", "advantage", "qret", "rho", "kl", "delta",
+               "far_count"}
     return type(rs)(*[
         P(AXIS) if name in sharded else P()
         for name in rs._fields])
