@@ -40,7 +40,7 @@ def replay_pspec(rs) -> "ReplayStatePSpec":
     replicated scalars/stat vectors."""
     sharded = {"states", "actions", "mus", "rewards", "length", "terminal",
                "ep_id", "value", "advantage", "qret", "rho", "kl", "delta",
-               "far_count"}
+               "far_count", "qret_stale"}
     return type(rs)(*[
         P(AXIS) if name in sharded else P()
         for name in rs._fields])
@@ -136,4 +136,13 @@ def make_sharded_fns(algo, rollout_chunk_fn, rs_template, carry_template,
                                    in_specs=(rs_sp,),
                                    out_specs=rs_sp, check_vma=False))
 
-    return train, rollout, refresh, init_stats
+    from smarties_tpu.replay.buffer import refresh_new_returns
+
+    def fix_fn(rs):
+        return refresh_new_returns(rs, algo.cfg.gamma, algo.cfg.lambda_,
+                                   algo.returns_mode)
+
+    fix_returns = jax.jit(shard_map(fix_fn, mesh=mesh, in_specs=(rs_sp,),
+                                    out_specs=rs_sp, check_vma=False))
+
+    return train, rollout, refresh, init_stats, fix_returns

@@ -68,6 +68,10 @@ class ReplayState(NamedTuple):
     # aggregates updated atomically on sampling, Episode.h:112-145) and
     # recomputed exactly at every refresh sweep
     far_count: jnp.ndarray       # [E] f32
+    # slots committed since the last return-estimator sweep: their qret is
+    # zeros until refresh_new_returns runs (the at-ingest Retrace of
+    # MemoryBuffer::terminateCurrentEpisode, batched per rollout chunk)
+    qret_stale: jnp.ndarray      # [E] bool
 
     # ---------------- derived masks / counts ----------------
     @property
@@ -135,6 +139,7 @@ def init_replay(n_slots: int, max_len: int, dim_state: int, dim_action: int,
         n_seen_eps=jnp.int32(0), n_seen_steps=jnp.int32(0),
         n_pruned_eps=jnp.int32(0), max_abs_error=jnp.float32(0.0),
         far_count=jnp.zeros((E,), F32),
+        qret_stale=jnp.zeros((E,), bool),
     )
 
 
@@ -250,6 +255,7 @@ def commit_episodes(rs: ReplayState, ep_states, ep_actions, ep_mus,
         ep_id=put(rs.ep_id, new_ids),
         # fresh episodes arrive with rho == 1 everywhere: zero far steps
         far_count=put(rs.far_count, jnp.zeros(V, F32)),
+        qret_stale=put(rs.qret_stale, jnp.ones(V, bool)),
         n_seen_eps=rs.n_seen_eps + n_done,
         n_seen_steps=rs.n_seen_steps + jnp.sum(
             jnp.where(done_mask, ep_length, 0)),
@@ -500,6 +506,25 @@ def update_state_rew_stats(rs: ReplayState, learn_rate, b_init: bool = False,
 # full-buffer return-estimator recomputation
 # ---------------------------------------------------------------------------
 
+def refresh_new_returns(rs: ReplayState, gamma: float, lam: float,
+                        mode: str = "retrace"):
+    """Return-estimator computation for freshly-committed episodes only
+    (qret_stale slots) — the at-ingest Retrace of
+    MemoryBuffer::terminateCurrentEpisode (MemoryBuffer.cpp:118-170),
+    batched once per rollout chunk so the Pallas sweep stays a standalone
+    program outside the env-stepping scan."""
+    if mode == "none":
+        return rs._replace(qret_stale=jnp.zeros_like(rs.qret_stale))
+    from smarties_tpu.ops.returns import batched_return_estimate
+    qret = batched_return_estimate(
+        rs.scaled_rewards(), rs.value, rs.advantage, rs.rho,
+        rs.length, rs.terminal, gamma, lam, mode,
+        err_baseline=rs.max_abs_error)
+    sel = (rs.qret_stale & rs.valid_slots())[:, None]
+    return rs._replace(qret=jnp.where(sel, qret, rs.qret),
+                       qret_stale=jnp.zeros_like(rs.qret_stale))
+
+
 def recompute_returns(rs: ReplayState, gamma: float, lam: float,
                       mode: str = "retrace"):
     """Backward recursion over every stored episode.
@@ -511,7 +536,8 @@ def recompute_returns(rs: ReplayState, gamma: float, lam: float,
     far-policy counts exactly (the reference's bRecomputeProperties
     updateCumulative sweep).
     """
-    rs = rs._replace(far_count=far_count_exact(rs))
+    rs = rs._replace(far_count=far_count_exact(rs),
+                     qret_stale=jnp.zeros_like(rs.qret_stale))
     if mode == "none":
         return rs
     qret = batched_return_estimate(

@@ -84,8 +84,6 @@ def make_rollout_chunk(env_module, mdp, act_fn: Callable,
     Returns per-chunk logs: (done[k,V], length[k,V], ret[k,V]) for the
     host-side cumulative_rewards.dat writer (MemoryBuffer.cpp:491-513).
     """
-    from smarties_tpu.ops.returns import batched_return_estimate
-
     def one_step(params, carry: RolloutCarry):
         rs, ip, es, key, rnn = carry
         key, k_act, k_reset = jax.random.split(key, 3)
@@ -139,14 +137,12 @@ def make_rollout_chunk(env_module, mdp, act_fn: Callable,
                                  obs2.astype(ip.states.dtype)), ip.states))
 
         # per-lane rho template: 1 for t<T, 0 at T (Episode::finalize,
-        # Episode.cpp:244-267)
+        # Episode.cpp:244-267). The at-ingest Retrace is deferred to ONE
+        # batched sweep per rollout chunk (buffer.refresh_new_returns),
+        # keeping the Pallas kernel out of this scan body.
         tgrid = jnp.arange(L1)[None, :]
         rho_ep = (tgrid < tnew[:, None]).astype(F32)
-        r_scaled = (ip.rewards - rs.rew_mean) * rs.rew_scale
-        qret = batched_return_estimate(
-            r_scaled, ip.value, ip.advantage, rho_ep, tnew, terminal,
-            gamma, lam, returns_mode, err_baseline=rs.max_abs_error
-        ) if returns_mode != "none" else jnp.zeros_like(ip.value)
+        qret = jnp.zeros_like(ip.value)
 
         rs = commit_episodes(
             rs, ip.states, ip.actions, ip.mus, ip.rewards, ip.value,

@@ -110,12 +110,15 @@ class Trainer:
             self._train_chunk = jax.jit(train_chunk, static_argnums=4)
             self._refresh = jax.jit(self.algo.refresh)
             self._init_stats = jax.jit(self.algo.initialize_stats)
+            self._fix_returns = jax.jit(partial(
+                rb.refresh_new_returns, gamma=cfg.gamma, lam=cfg.lambda_,
+                mode=self.algo.returns_mode))
         else:
             from smarties_tpu.parallel.mesh import (make_sharded_fns,
                                                     shard_carry)
             self.carry = shard_carry(mesh, self.carry)
             (self._train_sharded, self._rollout, self._refresh,
-             self._init_stats) = make_sharded_fns(
+             self._init_stats, self._fix_returns) = make_sharded_fns(
                 self.algo, chunk_fn, self.carry.replay, self.carry, mesh)
             self.key, k_tr = jax.random.split(self.key)
             self._train_keys = jax.random.split(k_tr, n_shards)
@@ -141,6 +144,10 @@ class Trainer:
         with self.profiler("ROLL"):
             self.carry, logs = self._rollout(self.params, self.carry,
                                              n_steps)
+            # at-ingest Retrace for episodes committed during the chunk
+            # (single batched Pallas sweep; buffer.refresh_new_returns)
+            self.carry = self.carry._replace(
+                replay=self._fix_returns(self.carry.replay))
         self.n_env_steps += n_steps * self.n_envs
         self._log_episodes(logs)
 
