@@ -124,6 +124,15 @@ def refer_mix(grad, penal_grad, beta):
     return beta * grad + (1 - beta) * penal_grad
 
 
+def grad_stats(grads):
+    """Gradient-moment tracking (Utils/StatsTracker.h analog): global norm
+    and largest-leaf absolute value, for the metrics stream."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    sq = sum(jnp.sum(x * x) for x in leaves)
+    mx = jnp.max(jnp.stack([jnp.max(jnp.abs(x)) for x in leaves]))
+    return {"grad_norm": jnp.sqrt(sq), "grad_max": mx}
+
+
 def default_metrics(dkl, rho, is_far, frac_off, beta, delta_q, v_val,
                     axis_name=None):
     pmean = (partial(jax.lax.pmean, axis_name=axis_name)

@@ -315,6 +315,8 @@ class VRacer:
                                             axis_name)
         metrics = default_metrics(dkl, rho, is_far, frac_off, rs.beta,
                                   delta_q, v_val, axis_name)
+        from smarties_tpu.algos.base import grad_stats
+        metrics.update(grad_stats(grads))
         return new_params, new_opt, rs, metrics
 
     # ------------------------------------------------------------------

@@ -90,6 +90,15 @@ class Communicator:
         (Communicator.h:133, Agent.h:315-342)."""
         self._spec["shared_noise"] = True
 
+    def disableDataTrackingForAgents(self, first_agent: int,
+                                     last_agent: int):
+        """Agents in [first, last) act but their transitions are not stored
+        (Communicator::disableDataTrackingForAgents — evaluation-only or
+        scripted agents in multi-agent envs)."""
+        untracked = set(self._spec.get("untracked_agents", ()))
+        untracked.update(range(first_agent, last_agent))
+        self._spec["untracked_agents"] = tuple(sorted(untracked))
+
     def setPreprocessingConv2d(self, input_width: int, input_height: int,
                                input_features: int, kernels_num: int,
                                filters_size: int, stride: int,

@@ -258,7 +258,13 @@ class Engine:
                     break
                 # ---- serve all envs one round ----
                 events, states, rewards, statuses = pool.gather_states()
+                untracked = set(pool.spec.get("untracked_agents", ()))
                 for lane, status, state, reward in events:
+                    if (lane % pool.n_agents) in untracked:
+                        # acting-only agents: serve actions, store nothing
+                        # (trackEpisodes=false fast path,
+                        # MemoryBuffer.cpp:50-98)
+                        continue
                     if obs_file is not None:
                         row = np.concatenate([[lane, status], state,
                                               [reward]]).astype(np.float32)
@@ -306,6 +312,9 @@ class Engine:
                 a_np, mu_np = np.asarray(a), np.asarray(mu)
                 v_np, adv_np = np.asarray(val), np.asarray(adv)
                 for lane in range(pool.n_lanes):
+                    if (lane % pool.n_agents) in untracked:
+                        lanes[lane].reset()
+                        continue
                     lanes[lane].add_action(a_np[lane], mu_np[lane],
                                            v_np[lane], adv_np[lane])
                 pool.send_actions(env_act)
