@@ -208,7 +208,9 @@ class ACER:
         idx_end = jnp.minimum(nsteps, S)
         v_end = v_st[lane, idx_end]
         r_end = r_scaled[lane, idx_end]
-        is_term = rs.terminal[ep]
+        # terminal only when the window reaches the episode's final state
+        # (MB.isTerminal(bID, tend), ACER.cpp:57-62)
+        is_term = rs.terminal[ep] & (tend == ndata)
         q_boot = r_end + jnp.where(is_term, 0.0, cfg.gamma * v_end)
 
         # backward recursions (affine given the forwards): scan over S

@@ -252,6 +252,78 @@ class CMAES:
         return st
 
     # ------------------------------------------------------------------
+    def run_external(self, pool, n_generations: int, key=None,
+                     log_every: int = 1,
+                     max_wall_s: float = float("inf")):
+        """Drive EXTERNAL (Communicator-API) envs with CMA.
+
+        The reference's primary CMA use: user applications (e.g. CFD
+        solvers) evaluated under population members
+        (CMALearner::assignWeightID round-robin at episode start,
+        CMALearner.cpp:29-52; generation barrier == batchSize * ESpopSize
+        episodes, :154-165). `pool` is an EnvPool/SocketEnvPool whose
+        spec must already be probed (pool.probe_spec()).
+        """
+        import time as _time
+        import numpy as _np
+        from smarties_tpu.runtime.communicator import (CONT, INIT, LAST,
+                                                       TERM)
+        key = key if key is not None else jax.random.PRNGKey(
+            self.cfg.randSeed)
+        key, k_init = jax.random.split(key)
+        if not hasattr(self, "state"):
+            self.state = self.init(k_init)
+        st = self.state
+        act_jit = jax.jit(lambda p, o, k: self._act(p, o, k))
+        mdp = pool.mdp
+        n_lanes = pool.n_lanes
+        lane_member = _np.zeros(n_lanes, _np.int64)
+        work_counter = 0
+        rsum = _np.zeros(self.P)
+        rcnt = _np.zeros(self.P, _np.int64)
+        lane_ret = _np.zeros(n_lanes)
+        gen_done = 0
+        t0 = _time.time()
+        obs_idx = _np.nonzero(mdp.observable_mask)[0]
+        while gen_done < n_generations and _time.time() - t0 < max_wall_s:
+            events, states, rewards, statuses = pool.gather_states()
+            for lane, status, state, reward in events:
+                if status == INIT:
+                    lane_member[lane] = work_counter % self.P
+                    work_counter += 1
+                    lane_ret[lane] = 0.0
+                else:
+                    lane_ret[lane] += reward
+                if status in (TERM, LAST):
+                    m = lane_member[lane]
+                    rsum[m] += lane_ret[lane]
+                    rcnt[m] += 1
+            obs = jnp.asarray(states[:, obs_idx], jnp.float32)
+            obs_std = (obs - st.state_mean) * st.state_scale
+            pop_tree = jax.vmap(self.unravel)(st.pop)
+            lane_tree = jax.tree_util.tree_map(
+                lambda x: x[jnp.asarray(lane_member)], pop_tree)
+            key, k_act = jax.random.split(key)
+            a = jax.vmap(act_jit, in_axes=(0, 0, 0))(
+                lane_tree, obs_std, jax.random.split(k_act, n_lanes))
+            env_act = _np.asarray(mdp.learner_to_env_action(a), _np.float64)
+            pool.send_actions(env_act)
+            if int(rcnt.sum()) >= self.eps_per_gen:
+                losses = jnp.asarray(-rsum / _np.maximum(rcnt, 1))
+                key, k_upd = jax.random.split(key)
+                st = self._upd_fn(st, losses, k_upd)
+                self.n_generations += 1
+                gen_done += 1
+                if gen_done % log_every == 0:
+                    print(f"gen {self.n_generations:4d} | avgR "
+                          f"{rsum.sum() / max(rcnt.sum(), 1):9.3f} | best "
+                          f"{-float(jnp.min(losses)):9.3f}", flush=True)
+                rsum[:] = 0
+                rcnt[:] = 0
+        self.state = st
+        return st
+
+    # ------------------------------------------------------------------
     def evaluate(self, n_episodes: int = 8, key=None, max_steps=None):
         """Roll the MEAN member deterministically."""
         key = key if key is not None else jax.random.PRNGKey(123)

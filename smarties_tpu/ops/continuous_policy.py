@@ -42,8 +42,12 @@ def sigma_of(sigma_raw):
 
 
 def initial_sigma_raw(expl_noise):
-    """Net bias producing stdev == explNoise (initial_Stdev, :179,:343)."""
-    return softplus_inv(expl_noise)
+    """Net bias producing stdev == explNoise (initial_Stdev, :179,:343).
+    explNoise == 0 (pure-deterministic, e.g. CMA without action noise) is
+    clamped to float eps like the reference's setInitial_Stdev guard
+    (Continuous_policy.h:603-608)."""
+    import numpy as _np
+    return softplus_inv(max(float(expl_noise), float(_np.finfo(_np.float32).eps)))
 
 
 def eff_mean(mean, bounded):
