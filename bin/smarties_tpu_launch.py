@@ -23,7 +23,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-BUILTIN_ENVS = {"cartpole", "cartpole_discrete", "pendulum", "predator_prey"}
+BUILTIN_ENVS = {"cartpole", "cartpole_discrete", "pendulum",
+                "predator_prey", "glider"}
 
 
 def main():
@@ -66,12 +67,14 @@ def main():
             pass
 
     if args.app in BUILTIN_ENVS:
-        from smarties_tpu.envs import cartpole, pendulum, predator_prey
+        from smarties_tpu.envs import (cartpole, glider, pendulum,
+                                       predator_prey)
         from smarties_tpu.runtime.trainer import Trainer
         env = {"cartpole": cartpole,
                "cartpole_discrete": cartpole.discrete,
                "pendulum": pendulum,
-               "predator_prey": predator_prey}[args.app]
+               "predator_prey": predator_prey,
+               "glider": glider}[args.app]
         mesh = None
         if args.nLearners > 1:
             from smarties_tpu.parallel.mesh import make_mesh

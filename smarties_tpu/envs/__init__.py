@@ -1,1 +1,1 @@
-from smarties_tpu.envs import cartpole, pendulum, predator_prey
+from smarties_tpu.envs import cartpole, glider, pendulum, predator_prey
