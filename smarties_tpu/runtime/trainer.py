@@ -184,10 +184,10 @@ class Trainer:
                          - int(self.replay.n_stored_steps()) - in_flight)
             n = max(1, min(chunk, int(np.ceil(
                 max(remaining, self.n_envs) / self.n_envs))))
-            # quantize to powers of two: each distinct chunk length is a
-            # separate XLA compilation
-            n = 1 << (n - 1).bit_length() if n > 1 else 1
-            n = min(n, chunk)
+            # only two chunk lengths (full / single sweep): each distinct
+            # length is a separate XLA compilation, expensive through the
+            # remote-compile tunnel
+            n = chunk if n >= chunk else 1
             self._roll(n)
         self.carry = self.carry._replace(
             replay=self._init_stats(self.carry.replay))
@@ -346,39 +346,51 @@ class Trainer:
     # ------------------------------------------------------------------
     def evaluate(self, n_episodes: int = 10, max_steps: int = 1000):
         """Deterministic-policy evaluation episodes (bTrain=0 serving path,
-        Worker.cpp:91-111 isOverTesting)."""
-        act = jax.jit(self.algo.make_act_fn(False))
-        self.key, k_env = jax.random.split(self.key)
-        es = self.env.init(k_env, n_episodes)
-        done = np.zeros(n_episodes, bool)
-        rets = np.zeros(n_episodes)
+        Worker.cpp:91-111 isOverTesting). One jitted scan — eager
+        per-step dispatch through the device tunnel costs ~1 ms/op."""
+        act = self.algo.make_act_fn(False)
+        env, mdp = self.env, self.mdp
+        k_app = mdp.n_appended_obs
         rs = self.replay
-        rnn = (self.algo.init_rnn(n_episodes)
-               if hasattr(self.algo, "init_rnn") else ())
-        k_app = self.mdp.n_appended_obs
-        hist = None
-        for _ in range(max_steps):
-            obs = self.mdp.observed(self.env.observe(es))
-            if k_app:
-                if hist is None:
-                    hist = [obs] * (k_app + 1)
-                else:
-                    hist = [obs] + hist[:k_app]
-                frames = jnp.stack(hist, axis=1)      # [N, k+1, dimS]
-                obs_std = ((frames - rs.state_mean) * rs.state_scale
+        rnn0 = (self.algo.init_rnn(n_episodes)
+                if hasattr(self.algo, "init_rnn") else ())
+
+        def run(params, state_mean, state_scale, k_env, k_act, max_steps):
+            es = env.init(k_env, n_episodes)
+            obs0 = mdp.observed(env.observe(es))
+            hist0 = jnp.tile(obs0[:, None, :], (1, k_app + 1, 1))
+
+            def body(carry, k):
+                es, hist, rnn, rets, done = carry
+                obs = mdp.observed(env.observe(es))
+                hist = jnp.concatenate([obs[:, None, :], hist[:, :k_app]],
+                                       axis=1)
+                obs_std = ((hist - state_mean) * state_scale
                            ).reshape(obs.shape[0], -1)
-            else:
-                obs_std = (obs - rs.state_mean) * rs.state_scale
-            self.key, k = jax.random.split(self.key)
-            a, _, _, _, rnn = act(self.params, obs_std, k, rnn)
-            # NaN guard (reference: Agent::checkNanOrInf, Agent.h:301-313)
-            assert np.isfinite(np.asarray(a)).all(), \
-                "non-finite action during evaluation — training diverged"
-            es, r, d, _ = self.env.step(es, self.mdp.learner_to_env_action(a))
-            rets += np.asarray(r) * (~done)
-            done |= np.asarray(d)
-            if done.all():
-                break
+                a, _, _, _, rnn = act(params, obs_std, k, rnn)
+                es, r, d, _ = env.step(es, mdp.learner_to_env_action(a))
+                rets = rets + r * (~done)
+                done = done | d
+                return (es, hist, rnn, rets, done), None
+
+            init = (es, hist0, rnn0, jnp.zeros(n_episodes),
+                    jnp.zeros(n_episodes, bool))
+            (es, _, _, rets, done), _ = jax.lax.scan(
+                body, init, jax.random.split(k_act, max_steps))
+            return rets
+
+        if not hasattr(self, "_eval_fns"):
+            self._eval_fns = {}
+        fkey = (n_episodes, max_steps)
+        if fkey not in self._eval_fns:
+            self._eval_fns[fkey] = jax.jit(partial(run,
+                                                   max_steps=max_steps))
+        self.key, k_env, k_act = jax.random.split(self.key, 3)
+        rets = np.asarray(self._eval_fns[fkey](
+            self.params, rs.state_mean, rs.state_scale, k_env, k_act))
+        # NaN guard (reference: Agent::checkNanOrInf, Agent.h:301-313)
+        assert np.isfinite(rets).all(), \
+            "non-finite returns during evaluation — training diverged"
         return rets
 
     # ------------------------------------------------------------------
