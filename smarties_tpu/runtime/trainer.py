@@ -134,6 +134,7 @@ class Trainer:
         self._last_refresh = 0
         self._last_log = 0
         self._ep_returns = []         # recent completed-episode returns
+        self._pending_logs = []       # device-side logs awaiting transfer
 
     # ------------------------------------------------------------------
     @property
@@ -149,7 +150,16 @@ class Trainer:
             self.carry = self.carry._replace(
                 replay=self._fix_returns(self.carry.replay))
         self.n_env_steps += n_steps * self.n_envs
-        self._log_episodes(logs)
+        # defer the device->host transfer: materializing logs forces a
+        # sync per chunk; flush lazily at logging time
+        self._pending_logs.append(logs)
+        if len(self._pending_logs) >= 32:
+            self._flush_logs()
+
+    def _flush_logs(self):
+        pending, self._pending_logs = self._pending_logs, []
+        for logs in pending:
+            self._log_episodes(logs)
 
     def _log_episodes(self, logs):
         done, length, ret = logs
@@ -270,6 +280,7 @@ class Trainer:
                     // self.cfg.saveFreq):
                 self._last_save = self.n_grad_steps
                 self.save(os.path.join(self.run_dir, "checkpoint.pkl"))
+        self._flush_logs()
 
     # ------------------------------------------------------------------
     def _train_on_policy(self, n_grad_steps: int, log_every: int = 1000,
@@ -325,6 +336,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def log_status(self, full: bool = False):
+        self._flush_logs()
         rs = self.replay
         avg_r = (np.mean(self._ep_returns[-100:])
                  if self._ep_returns else float("nan"))
@@ -397,6 +409,7 @@ class Trainer:
     def save(self, path: str):
         """Checkpoint params/opt/replay/counters — includes the full replay
         buffer like the reference (MemoryBuffer.cpp:172-324)."""
+        self._flush_logs()
         state = {
             "params": jax.device_get(self.params),
             "opt_state": jax.device_get(self.opt_state),
