@@ -60,13 +60,14 @@ def main():
     tr.n_env_steps = tr.n_obs_b4_start + int(
         tr.n_grad_steps * cfg.obsPerStep)
     # pre-warm every chunk shape the loop uses (train(100), roll(1),
-    # refresh) so the timed window measures steady state, not compiles
+    # refresh, fused cycle) so the timed window measures steady state
     tr.train(2200, log_every=10**9, max_wall_s=120)
     tr.n_env_steps = tr.n_obs_b4_start + int(
         tr.n_grad_steps * cfg.obsPerStep)
+    tr.train_fused(2 * N_ENVS, log_every=10**9, max_wall_s=180)
     g0, e0 = tr.n_grad_steps, tr.n_env_steps
     t0 = time.perf_counter()
-    tr.train(5000, log_every=10**9, max_wall_s=60)
+    tr.train_fused(8000, log_every=10**9, max_wall_s=60)
     dt = time.perf_counter() - t0
     loop_grad_s = (tr.n_grad_steps - g0) / dt
     loop_env_s = (tr.n_env_steps - e0) / dt

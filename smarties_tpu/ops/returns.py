@@ -121,15 +121,18 @@ def episode_return_estimate(r_scaled, value, advantage, rho, length,
 
 def batched_return_estimate(r_scaled, value, advantage, rho, length,
                             terminal, gamma, lam, mode="retrace",
-                            err_baseline=0.0):
+                            err_baseline=0.0, prefer_pallas=True):
     """Batched backward recursion over the episode-slot axis.
 
     retrace/GAE dispatch to the single-pass Pallas kernel
     (ops/pallas_retrace.py; ~170x faster than the associative scan on the
     full-buffer sweep at [4096, 501]); retraceExplore is non-affine and
-    keeps the sequential scan path.
+    keeps the sequential scan path. prefer_pallas=False forces the
+    associative-scan path — required when the caller embeds this in a
+    program that also contains lax.scan loops (the Mosaic remote-compile
+    path chokes on mixed programs).
     """
-    if mode in ("retrace", "GAE"):
+    if mode in ("retrace", "GAE") and prefer_pallas:
         from smarties_tpu.ops.pallas_retrace import batched_retrace_pallas
         return batched_retrace_pallas(r_scaled, value, advantage, rho,
                                       length, terminal, gamma, lam, mode)

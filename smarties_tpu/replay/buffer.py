@@ -507,7 +507,7 @@ def update_state_rew_stats(rs: ReplayState, learn_rate, b_init: bool = False,
 # ---------------------------------------------------------------------------
 
 def refresh_new_returns(rs: ReplayState, gamma: float, lam: float,
-                        mode: str = "retrace"):
+                        mode: str = "retrace", prefer_pallas: bool = True):
     """Return-estimator computation for freshly-committed episodes only
     (qret_stale slots) — the at-ingest Retrace of
     MemoryBuffer::terminateCurrentEpisode (MemoryBuffer.cpp:118-170),
@@ -519,7 +519,7 @@ def refresh_new_returns(rs: ReplayState, gamma: float, lam: float,
     qret = batched_return_estimate(
         rs.scaled_rewards(), rs.value, rs.advantage, rs.rho,
         rs.length, rs.terminal, gamma, lam, mode,
-        err_baseline=rs.max_abs_error)
+        err_baseline=rs.max_abs_error, prefer_pallas=prefer_pallas)
     sel = (rs.qret_stale & rs.valid_slots())[:, None]
     return rs._replace(qret=jnp.where(sel, qret, rs.qret),
                        qret_stale=jnp.zeros_like(rs.qret_stale))

@@ -113,6 +113,33 @@ class Trainer:
             self._fix_returns = jax.jit(partial(
                 rb.refresh_new_returns, gamma=cfg.gamma, lam=cfg.lambda_,
                 mode=self.algo.returns_mode))
+
+            # fused steady-state cycle: [n_roll env sweeps + at-ingest
+            # returns + n_train grad steps] as ONE XLA program — removes
+            # per-chunk dispatch latency (~1 ms each through the device
+            # tunnel). The at-ingest sweep uses the associative-scan path
+            # (prefer_pallas=False): Mosaic kernels cannot co-compile with
+            # lax.scan through the remote-compile tunnel.
+            def fused_cycle(params, opt_state, carry, key, n_roll,
+                            n_train):
+                carry, logs = chunk_fn(params, carry, n_roll)
+                rs2 = rb.refresh_new_returns(
+                    carry.replay, cfg.gamma, cfg.lambda_,
+                    self.algo.returns_mode, prefer_pallas=False)
+
+                def body(c, k):
+                    p, o, r = c
+                    p, o, r, m = self.algo.train_step(p, o, r, k)
+                    return (p, o, r), m
+
+                keys = jax.random.split(key, n_train)
+                (params, opt_state, rs2), ms = jax.lax.scan(
+                    body, (params, opt_state, rs2), keys)
+                return params, opt_state, carry._replace(replay=rs2), ms, \
+                    logs
+
+            self._fused_cycle = jax.jit(fused_cycle,
+                                        static_argnums=(4, 5))
         else:
             from smarties_tpu.parallel.mesh import (make_sharded_fns,
                                                     shard_carry)
@@ -222,6 +249,50 @@ class Trainer:
         """Learner::blockGradientUpdates (Learner.cpp:115-123)."""
         return (self._n_loc_train_steps()
                 < self.n_grad_steps * self.cfg.obsPerStep)
+
+    # ------------------------------------------------------------------
+    def train_fused(self, n_grad_steps: int, log_every: int = 1000,
+                    max_wall_s: float = float("inf")):
+        """Steady-state training with the fused cycle program: each cycle
+        rolls 1 env sweep (n_envs observations) and runs the matching
+        n_envs/obsPerStep grad steps, keeping the obsPerStep invariant
+        exactly while paying one dispatch per cycle.
+
+        The 1000-step refresh runs between cycles at the nearest boundary
+        (cadence n_train-per-cycle instead of exactly 1000). Off-policy,
+        single-mesh only; falls back to train() otherwise."""
+        if self.on_policy or self.mesh is not None:
+            return self.train(n_grad_steps, log_every, max_wall_s)
+        if not self._initialized:
+            self.warmup()
+        n_train = max(1, int(round(self.n_envs / self.cfg.obsPerStep)))
+        target = self.n_grad_steps + n_grad_steps
+        t0 = time.time()
+        # catch up any pacing backlog with the regular path first
+        backlog = int(self._n_loc_train_steps() / self.cfg.obsPerStep
+                      ) - self.n_grad_steps
+        if backlog > 0:
+            self.train(min(backlog, n_grad_steps), log_every, max_wall_s)
+        while self.n_grad_steps < target and time.time() - t0 < max_wall_s:
+            self.key, k = jax.random.split(self.key)
+            (self.params, self.opt_state, self.carry, metrics,
+             logs) = self._fused_cycle(self.params, self.opt_state,
+                                       self.carry, k, 1, n_train)
+            self.n_env_steps += self.n_envs
+            self.n_grad_steps += n_train
+            self._pending_logs.append(logs)
+            if len(self._pending_logs) >= 32:
+                self._flush_logs()
+            self._last_metrics = metrics
+            if self.n_grad_steps // 1000 > self._last_refresh // 1000:
+                self._last_refresh = self.n_grad_steps
+                self.carry = self.carry._replace(
+                    replay=self._refresh(self.carry.replay,
+                                         float(self.n_grad_steps)))
+            if (self.n_grad_steps - self._last_log) >= log_every:
+                self._last_log = self.n_grad_steps
+                self.log_status()
+        self._flush_logs()
 
     # ------------------------------------------------------------------
     def train(self, n_grad_steps: int, log_every: int = 1000,
