@@ -39,7 +39,7 @@ def main():
                  max_len=cartpole.MAX_STEPS)
 
     # ---- warmup (compiles the rollout path) ----
-    tr.warmup(chunk=16)
+    tr.warmup(chunk=16, adaptive=False)
 
     # ---- headline: fused combined loop ----
     # pre-warm the fused program + refresh, then time steady state

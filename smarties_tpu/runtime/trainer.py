@@ -207,24 +207,22 @@ class Trainer:
             self._ep_returns = self._ep_returns[-1000:]
 
     # ------------------------------------------------------------------
-    def warmup(self, chunk: int = 64):
+    def warmup(self, chunk: int = 64, adaptive: bool = True):
         """Gather minTotObsNum observations before training
         (stepInit task, RACER.cpp:69-77).
 
-        Chunk size adapts to the remaining gap counting in-progress
-        episode steps, so long-episode envs do not overshoot the start
-        threshold by whole chunk multiples (the reference serves envs one
-        step at a time, so its overshoot is only the in-flight episodes)."""
+        adaptive: shrink the final chunk to a single sweep so long-episode
+        envs do not overshoot the start threshold by a whole chunk (the
+        reference serves envs one step at a time, so its overshoot is only
+        the in-flight episodes). Each distinct chunk length is a separate
+        XLA compilation — pass adaptive=False to compile only one."""
         while int(self.replay.n_stored_steps()) < self.n_obs_b4_start:
             in_flight = int(jnp.sum(self.carry.inprog.t))
             remaining = (self.n_obs_b4_start
                          - int(self.replay.n_stored_steps()) - in_flight)
             n = max(1, min(chunk, int(np.ceil(
                 max(remaining, self.n_envs) / self.n_envs))))
-            # only two chunk lengths (full / single sweep): each distinct
-            # length is a separate XLA compilation, expensive through the
-            # remote-compile tunnel
-            n = chunk if n >= chunk else 1
+            n = chunk if (n >= chunk or not adaptive) else 1
             self._roll(n)
         self.carry = self.carry._replace(
             replay=self._init_stats(self.carry.replay))
@@ -268,11 +266,9 @@ class Trainer:
         n_train = max(1, int(round(self.n_envs / self.cfg.obsPerStep)))
         target = self.n_grad_steps + n_grad_steps
         t0 = time.time()
-        # catch up any pacing backlog with the regular path first
-        backlog = int(self._n_loc_train_steps() / self.cfg.obsPerStep
-                      ) - self.n_grad_steps
-        if backlog > 0:
-            self.train(min(backlog, n_grad_steps), log_every, max_wall_s)
+        # NOTE: any warmup overshoot persists as a constant bounded offset
+        # in the pacing ledger (cycles are exactly balanced); the reference
+        # has the same transient from in-flight episodes at startup.
         while self.n_grad_steps < target and time.time() - t0 < max_wall_s:
             self.key, k = jax.random.split(self.key)
             (self.params, self.opt_state, self.carry, metrics,
