@@ -13,9 +13,69 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from smarties_tpu.models.net import apply_net, init_carry
 from smarties_tpu.replay import buffer as rb
 
 F32 = jnp.float32
+
+
+# ----------------------------------------------------------------------
+# Truncated-BPTT window machinery shared by every recurrent learner
+# (the reference builds per-sample windows [t - nnBPTTseq, t + 2) with a
+# zeroed recurrent context at the window start for ALL algorithms via
+# MemoryBuffer::sampleMinibatch + Network::backProp,
+# MemoryBuffer.cpp:393-402, Network.h:155-193).
+
+
+def bptt_window(rs: rb.ReplayState, ep, t, W: int):
+    """Standardized state inputs over the window [t-W+1, t+1].
+
+    Returns (xs [B, W+1+1=window, dimS], active [B, window]) where the
+    last two positions are the sampled step t and its successor t+1;
+    positions before the episode start are masked inactive (each replay
+    slot holds exactly one episode, so t < 0 is the only boundary).
+    """
+    offs = jnp.arange(-W + 1, 2)
+    tw = t[:, None] + offs[None, :]                   # [B, W+1]
+    active = tw >= 0
+    twc = jnp.clip(tw, 0, rs.max_len)
+    xs = (rs.states[ep[:, None], twc]
+          - rs.state_mean) * rs.state_scale           # [B, W+1, dimS]
+    xs = jnp.where(active[..., None], xs, 0.0)
+    return xs, active
+
+
+def seq_outputs(params, spec, xs, active):
+    """Scan a recurrent net over a [B, T] window from a zero carry,
+    holding the carry where `active` is False. Differentiable (usable
+    inside loss closures). Returns (out_t, out_t1) — the outputs at the
+    last two window positions (the sampled step and its successor)."""
+    carry0 = init_carry(spec, (xs.shape[0],))
+    xs_t = jnp.moveaxis(xs, 1, 0)                     # [T, B, d]
+    m_t = jnp.moveaxis(active, 1, 0)                  # [T, B]
+
+    def step(c, inp):
+        x, m = inp
+        y, c2 = apply_net(params, spec, x, c)
+        c2 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(m[:, None], a, b), c2, c)
+        return c2, y
+
+    _, ys = jax.lax.scan(step, carry0, (xs_t, m_t))
+    return ys[-2], ys[-1]
+
+
+def seq_forward_vjp(params, spec, xs, active):
+    """vjp wrapper of seq_outputs: returns (out_t, stop_grad(out_t1),
+    pullback) where pullback(g) backpropagates a cotangent at the sampled
+    step t through the whole window (reverse BPTT, Network.h:155-193)."""
+    (out_t, out_t1), vjp_fn = jax.vjp(
+        lambda p: seq_outputs(p, spec, xs, active), params)
+
+    def pullback(g):
+        return vjp_fn((g, jnp.zeros_like(out_t1)))[0]
+
+    return out_t, jax.lax.stop_gradient(out_t1), pullback
 
 
 class MiniBatch(NamedTuple):

@@ -15,6 +15,13 @@ activations (DPG.cpp:50 forward with sample -1); standard DDPG — and this
 implementation — uses the ONLINE critic at the online actor's action.
 The reference's 1-step branch also uses reward(t) (same off-by-one as DQN);
 here r_{t+1}.
+
+Recurrent nets (nnType LSTM/GRU/RNN): the recurrence lives in the shared
+encoder trunk (created implicitly from nnLayerSizes[0] when no encoder is
+configured) and the actor/critic heads are feedforward on its features —
+the TPU-idiomatic layout for multi-head recurrent learners; the reference
+instead makes each net recurrent via Builder. BPTT windows come from the
+same shared machinery as RACER (base.py, MemoryBuffer.cpp:393-402).
 """
 from __future__ import annotations
 
@@ -43,23 +50,33 @@ class DPG:
         self.mdp = mdp
         self.cfg = cfg
         nA = mdp.dim_action
+        self.recurrent = cfg.nnType in ("LSTM", "GRU", "RNN")
         enc_sizes = tuple(s for s in cfg.encoderLayerSizes if s > 0)
+        if self.recurrent and not enc_sizes:
+            # recurrence lives in the trunk; synthesize one from the
+            # first hidden size (see module docstring)
+            enc_sizes = (cfg.nnLayerSizes[0],)
         self.has_enc = len(enc_sizes) > 0
+        head_kind = "FFNN" if self.recurrent else cfg.nnType
         feat = enc_sizes[-1] if self.has_enc else mdp.dim_net_input
         sig0 = float(cp.initial_sigma_raw(cfg.explNoise))
         if self.has_enc:
+            # recurrent: all encoder sizes are (recurrent) hidden layers
+            # with a same-size projection out; NetSpec recurrence lives in
+            # hidden layers only
+            enc_hidden = enc_sizes if self.recurrent else enc_sizes[:-1]
             self.enc_spec = NetSpec(
-                n_in=mdp.dim_net_input, hidden=enc_sizes[:-1],
+                n_in=mdp.dim_net_input, hidden=enc_hidden,
                 n_out=enc_sizes[-1], kind=cfg.nnType, act=cfg.nnFunc,
                 out_prefac=1.0, out_act=cfg.nnFunc)
         self.actor_spec = NetSpec(
             n_in=feat, hidden=tuple(cfg.nnLayerSizes), n_out=nA,
-            kind=cfg.nnType, act=cfg.nnFunc,
+            kind=head_kind, act=cfg.nnFunc,
             out_prefac=cfg.outWeightsPrefac,
             n_param_out=nA, param_init=tuple([sig0] * nA))
         self.critic_spec = NetSpec(
             n_in=feat + nA, hidden=tuple(cfg.nnLayerSizes), n_out=1,
-            kind=cfg.nnType, act=cfg.nnFunc,
+            kind=head_kind, act=cfg.nnFunc,
             out_prefac=cfg.outWeightsPrefac)
         self.bounded = np.asarray(mdp.bounded_mask)
         # critic wants lr x10 and L2 1e-4 (DPG.cpp:201-203)
@@ -82,11 +99,13 @@ class DPG:
         return params, adam_init(net)
 
     def init_rnn(self, n_envs: int):
-        """Per-env Ornstein-Uhlenbeck noise state (OrUhState analog,
-        DPG.h/NAF.h; zeroed on episode end by the collector)."""
-        if self.ou_decay > 0:
-            return (jnp.zeros((n_envs, self.mdp.dim_action)),)
-        return ()
+        """Per-env carry: slot 0 the Ornstein-Uhlenbeck noise state
+        (OrUhState analog, DPG.h/NAF.h), the rest the encoder's recurrent
+        carry; zeroed on episode end by the collector."""
+        from smarties_tpu.models.net import init_carry
+        ou = jnp.zeros((n_envs, self.mdp.dim_action))
+        enc = init_carry(self.enc_spec, (n_envs,)) if self.has_enc else ()
+        return (ou,) + enc
 
     # ------------------------------------------------------------------
     def _feat(self, net, x):
@@ -94,6 +113,12 @@ class DPG:
             y, _ = apply_net(net["enc"], self.enc_spec, x)
             return y
         return x
+
+    def _feat_seq(self, net, xs, active):
+        """(feat_t, feat_t1) through the recurrent encoder over a BPTT
+        window; differentiable (used inside the loss closure)."""
+        from smarties_tpu.algos.base import seq_outputs
+        return seq_outputs(net["enc"], self.enc_spec, xs, active)
 
     def _actor(self, net, feat):
         out, _ = apply_net(net["actor"], self.actor_spec, feat)
@@ -112,13 +137,19 @@ class DPG:
 
         def act(params, obs_std, key, rnn=()):
             net = params["net"]
-            feat = self._feat(net, obs_std)
+            ou_prev = rnn[0] if rnn else jnp.zeros(
+                obs_std.shape[:-1] + (self.mdp.dim_action,))
+            if self.has_enc:
+                feat, enc_carry = apply_net(net["enc"], self.enc_spec,
+                                            obs_std, rnn[1:] if rnn else ())
+            else:
+                feat, enc_carry = obs_std, ()
             mean, sraw = self._actor(net, feat)
             sigma = cp.sigma_of(sraw)
+            ou = ou_prev
             if sample and self.ou_decay > 0:
                 noise = cp.clipped_normal(key, mean.shape, mean.dtype)
-                a, ou = cp.sample_ou(noise, rnn[0], mean, sigma, bounded)
-                rnn = (ou,)
+                a, ou = cp.sample_ou(noise, ou_prev, mean, sigma, bounded)
             elif sample:
                 a = cp.sample(key, mean, sigma, bounded)
             else:
@@ -127,7 +158,7 @@ class DPG:
             # appendValues(V = Q(s, pol(s)), Q = Q(s, a)) (DPG.cpp:100-105)
             v = self._critic(net, feat, mean)
             q = self._critic(net, feat, a)
-            return a, mu, v, q - v, rnn
+            return a, mu, v, q - v, (ou,) + enc_carry
 
         return act
 
@@ -148,8 +179,18 @@ class DPG:
         mb = gather_minibatch(rs, ep, t)
         net, tgt = params["net"], params["tgt"]
 
+        if self.recurrent:
+            from smarties_tpu.algos.base import bptt_window
+            xs, active = bptt_window(rs, ep, t, cfg.nnBPTTseq)
+
+        def feats(p):
+            """(feat at t, feat at t+1) for parameter set p."""
+            if self.recurrent:
+                return self._feat_seq(p, xs, active)
+            return self._feat(p, mb.s_t), self._feat(p, mb.s_t1)
+
         # policy stats for ReF-ER
-        feat_ng = self._feat(net, mb.s_t)
+        feat_ng, feat1_on = jax.lax.stop_gradient(feats(net))
         mean, sraw = self._actor(net, feat_ng)
         sigma = cp.sigma_of(sraw)
         rho = cp.imp_weight(mb.action, mean, sigma, mb.mu, self.bounded)
@@ -159,11 +200,10 @@ class DPG:
         # targets
         if self.returns_mode != "none":
             target = mb.qret
-            feat1 = self._feat(net, mb.s_t1)
-            m1, _ = self._actor(net, feat1)
-            v_next = self._critic(net, feat1, m1)
+            m1, _ = self._actor(net, feat1_on)
+            v_next = self._critic(net, feat1_on, m1)
         else:
-            feat1 = self._feat(tgt, mb.s_t1)
+            feat1 = feats(tgt)[1]
             m1, _ = self._actor(tgt, feat1)
             v_next = self._critic(tgt, feat1, m1)
             target = mb.reward_next + jnp.where(
@@ -182,7 +222,7 @@ class DPG:
             jnp.where(is_far, 0.0, beta * jnp.ones_like(rho)))
 
         def loss(net_p):
-            feat = self._feat(net_p, mb.s_t)
+            feat = feats(net_p)[0]
             q_taken = self._critic(net_p, feat, mb.action)
             m, sr = self._actor(net_p, feat)
             # dQ/da through the critic only: stop feature/critic-params?

@@ -20,9 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from smarties_tpu.algos.base import (default_metrics, gather_minibatch,
-                                     post_step_processing, write_back,
-                                     write_next_value)
+from smarties_tpu.algos.base import (bptt_window, default_metrics,
+                                     gather_minibatch, post_step_processing,
+                                     seq_forward_vjp, seq_outputs,
+                                     write_back, write_next_value)
 from smarties_tpu.core.mdp import MDPSpec
 from smarties_tpu.models.net import (Conv2DDesc, NetSpec,
                                      apply_net, init_params)
@@ -69,6 +70,10 @@ class DQN:
                   "tgt": jax.tree_util.tree_map(jnp.copy, net)}
         return params, adam_init(net)
 
+    def init_rnn(self, n_envs: int):
+        from smarties_tpu.models.net import init_carry
+        return init_carry(self.spec, (n_envs,))
+
     # ------------------------------------------------------------------
     def make_act_fn(self, train: bool = True):
         spec = self.spec
@@ -109,16 +114,32 @@ class DQN:
             out, _ = apply_net(p, spec, x)
             return out
 
-        qs, vjp_fn = jax.vjp(lambda p: fwd(p, mb.s_t), params["net"])
+        if spec.is_recurrent:
+            # Truncated-BPTT window (base.py helpers; the reference gives
+            # every learner recurrent nets through the same MemoryBuffer
+            # window machinery, MemoryBuffer.cpp:393-402)
+            xs, active = bptt_window(rs, ep, t, cfg.nnBPTTseq)
+            qs, q_hat_next, pullback = seq_forward_vjp(
+                params["net"], spec, xs, active)
+        else:
+            qs, vjp_fn = jax.vjp(lambda p: fwd(p, mb.s_t), params["net"])
+            q_hat_next = fwd(params["net"], mb.s_t1)
+
+            def pullback(g):
+                return vjp_fn(g)[0]
         q_a = jnp.take_along_axis(qs, opt[:, None], axis=-1)[..., 0]
 
-        q_hat_next = fwd(params["net"], mb.s_t1)
         if self.use_retrace:
             td_error = mb.qret - q_a
             v_next = _soft_expected_value(q_hat_next, q_hat_next)
         else:
-            q_tilde_next = (fwd(params["tgt"], mb.s_t1) if self.use_target
-                            else q_hat_next)
+            if not self.use_target:
+                q_tilde_next = q_hat_next
+            elif spec.is_recurrent:
+                q_tilde_next = seq_outputs(params["tgt"], spec,
+                                           xs, active)[1]
+            else:
+                q_tilde_next = fwd(params["tgt"], mb.s_t1)
             # double-Q: select with online net, evaluate with target
             boot = _soft_expected_value(q_hat_next, q_tilde_next)
             target = mb.reward_next + jnp.where(
@@ -141,7 +162,7 @@ class DQN:
         else:
             is_far = jnp.zeros_like(rho, bool)
 
-        grads = vjp_fn(g)[0]
+        grads = pullback(g)
         if axis_name is not None:
             grads = jax.lax.psum(grads, axis_name)
         new_net, new_opt = adam_step(params["net"], grads, opt_state,

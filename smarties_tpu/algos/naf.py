@@ -17,9 +17,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from smarties_tpu.algos.base import (default_metrics, gather_minibatch,
-                                     post_step_processing, write_back,
-                                     write_next_value)
+from smarties_tpu.algos.base import (bptt_window, default_metrics,
+                                     gather_minibatch, post_step_processing,
+                                     seq_forward_vjp, seq_outputs,
+                                     write_back, write_next_value)
 from smarties_tpu.core.mdp import MDPSpec
 from smarties_tpu.models.net import (Conv2DDesc, NetSpec,
                                      apply_net, init_params)
@@ -69,11 +70,12 @@ class NAF:
         return params, adam_init(net)
 
     def init_rnn(self, n_envs: int):
-        """Per-env Ornstein-Uhlenbeck noise state (OrUhState analog,
-        DPG.h/NAF.h; zeroed on episode end by the collector)."""
-        if self.ou_decay > 0:
-            return (jnp.zeros((n_envs, self.mdp.dim_action)),)
-        return ()
+        """Per-env carry: slot 0 is the Ornstein-Uhlenbeck noise state
+        (OrUhState analog, DPG.h/NAF.h), the rest the net's recurrent
+        carry; both are zeroed on episode end by the collector."""
+        from smarties_tpu.models.net import init_carry
+        ou = jnp.zeros((n_envs, self.mdp.dim_action))
+        return (ou,) + init_carry(self.spec, (n_envs,))
 
     def _split(self, out):
         nA = self.mdp.dim_action
@@ -99,21 +101,24 @@ class NAF:
         sample = train and self.cfg.explNoise > 0
 
         def act(params, obs_std, key, rnn=()):
-            # NAF is feed-forward; the carry slot holds the OU noise state
-            out, _ = apply_net(params["net"], spec, obs_std)
+            # carry layout: (OU noise state, *net recurrent carry)
+            ou_prev = rnn[0] if rnn else jnp.zeros(
+                obs_std.shape[:-1] + (self.mdp.dim_action,))
+            out, carry = apply_net(params["net"], spec, obs_std,
+                                   rnn[1:] if rnn else ())
             v, l_out, mean, sraw = self._split(out)
             sigma = cp.sigma_of(sraw)
+            ou = ou_prev
             if sample and self.ou_decay > 0:
                 noise = cp.clipped_normal(key, mean.shape, mean.dtype)
-                a, ou = cp.sample_ou(noise, rnn[0], mean, sigma, bounded)
-                rnn = (ou,)
+                a, ou = cp.sample_ou(noise, ou_prev, mean, sigma, bounded)
             elif sample:
                 a = cp.sample(key, mean, sigma, bounded)
             else:
                 a = cp.eff_mean(mean, bounded)
             mu = cp.mu_vector(mean, sigma, bounded)
             a_val = self._advantage(l_out, mean, a)
-            return a, mu, v, a_val, rnn
+            return a, mu, v, a_val, (ou,) + carry
 
         return act
 
@@ -139,7 +144,16 @@ class NAF:
             out, _ = apply_net(p, spec, x)
             return out
 
-        out, vjp_fn = jax.vjp(lambda p: fwd(p, mb.s_t), params["net"])
+        if spec.is_recurrent:
+            xs, active = bptt_window(rs, ep, t, cfg.nnBPTTseq)
+            out, out_next, pullback = seq_forward_vjp(
+                params["net"], spec, xs, active)
+        else:
+            out, vjp_fn = jax.vjp(lambda p: fwd(p, mb.s_t), params["net"])
+            out_next = None
+
+            def pullback(g):
+                return vjp_fn(g)[0]
         v, l_out, mean, sraw = self._split(out)
         sigma = cp.sigma_of(sraw)
         rho = cp.imp_weight(mb.action, mean, sigma, mb.mu, self.bounded)
@@ -150,9 +164,12 @@ class NAF:
 
         if self.returns_mode != "none":
             target = mb.qret
-            v_next = fwd(params["net"], mb.s_t1)[..., 0]
+            v_next = (out_next[..., 0] if spec.is_recurrent
+                      else fwd(params["net"], mb.s_t1)[..., 0])
         else:
-            v_next = fwd(params["tgt"], mb.s_t1)[..., 0]
+            v_next = (seq_outputs(params["tgt"], spec, xs, active)[1][..., 0]
+                      if spec.is_recurrent
+                      else fwd(params["tgt"], mb.s_t1)[..., 0])
             target = mb.reward_next + jnp.where(
                 mb.terminal_next | is_far, 0.0, cfg.gamma * v_next)
 
@@ -174,7 +191,7 @@ class NAF:
         g_s = softplus_diff(sraw) * (cfg.explNoise - sigma) / 2
         g = jnp.concatenate([error[:, None], g_l, g_m, g_s], axis=-1)
 
-        grads = vjp_fn(g)[0]
+        grads = pullback(g)
         if axis_name is not None:
             grads = jax.lax.psum(grads, axis_name)
         new_net, new_opt = adam_step(params["net"], grads, opt_state,

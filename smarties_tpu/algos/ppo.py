@@ -17,6 +17,11 @@ Deviation, deliberate: the reference's critic gradient is gated to
 far-policy samples ONLY (`verr * (isOff? 1 : 0)`, PPO_train.cpp:69), which
 leaves the critic untrained on fresh on-policy data; here the critic trains
 on all samples (standard PPO).
+
+Recurrent nets (nnType LSTM/GRU/RNN): as in DPG, the recurrence lives in
+the shared encoder trunk (synthesized from nnLayerSizes[0] if no encoder
+is configured); actor/critic heads are feedforward. BPTT windows via the
+shared base.py machinery.
 """
 from __future__ import annotations
 
@@ -61,30 +66,35 @@ class PPO:
         self.n_horizon = cfg.maxTotObsNum
         self.n_epochs = max(1, int(cfg.batchSize / cfg.obsPerStep))
         self.cmax_pol = cfg.clipImpWeight
+        self.recurrent = cfg.nnType in ("LSTM", "GRU", "RNN")
         enc_sizes = tuple(s for s in cfg.encoderLayerSizes if s > 0)
+        if self.recurrent and not enc_sizes:
+            enc_sizes = (cfg.nnLayerSizes[0],)
         self.has_enc = len(enc_sizes) > 0
+        head_kind = "FFNN" if self.recurrent else cfg.nnType
         feat = enc_sizes[-1] if self.has_enc else mdp.dim_net_input
         if self.has_enc:
+            enc_hidden = enc_sizes if self.recurrent else enc_sizes[:-1]
             self.enc_spec = NetSpec(
-                n_in=mdp.dim_net_input, hidden=enc_sizes[:-1],
+                n_in=mdp.dim_net_input, hidden=enc_hidden,
                 n_out=enc_sizes[-1], kind=cfg.nnType, act=cfg.nnFunc,
                 out_prefac=1.0, out_act=cfg.nnFunc)
         if self.discrete:
             self.n_opts = mdp.max_action_label
             self.actor_spec = NetSpec(
                 n_in=feat, hidden=tuple(cfg.nnLayerSizes),
-                n_out=self.n_opts, kind=cfg.nnType, act=cfg.nnFunc,
+                n_out=self.n_opts, kind=head_kind, act=cfg.nnFunc,
                 out_prefac=cfg.outWeightsPrefac)
         else:
             sig0 = float(cp.initial_sigma_raw(cfg.explNoise))
             self.actor_spec = NetSpec(
                 n_in=feat, hidden=tuple(cfg.nnLayerSizes), n_out=nA,
-                kind=cfg.nnType, act=cfg.nnFunc,
+                kind=head_kind, act=cfg.nnFunc,
                 out_prefac=cfg.outWeightsPrefac,
                 n_param_out=nA, param_init=tuple([sig0] * nA))
         self.critic_spec = NetSpec(
             n_in=feat, hidden=tuple(cfg.nnLayerSizes), n_out=1,
-            kind=cfg.nnType, act=cfg.nnFunc,
+            kind=head_kind, act=cfg.nnFunc,
             out_prefac=cfg.outWeightsPrefac)
         self.bounded = (None if self.discrete
                         else np.asarray(mdp.bounded_mask))
@@ -115,13 +125,21 @@ class PPO:
             return y
         return x
 
+    def init_rnn(self, n_envs: int):
+        from smarties_tpu.models.net import init_carry
+        return init_carry(self.enc_spec, (n_envs,)) if self.has_enc else ()
+
     # ------------------------------------------------------------------
     def make_act_fn(self, train: bool = True):
         bounded = self.bounded
         sample = train and self.cfg.explNoise > 0
 
         def act(params, obs_std, key, rnn=()):
-            feat = self._feat(params, obs_std)
+            if self.has_enc:
+                feat, rnn = apply_net(params["enc"], self.enc_spec,
+                                      obs_std, rnn)
+            else:
+                feat = obs_std
             pol, _ = apply_net(params["actor"], self.actor_spec, feat)
             v, _ = apply_net(params["critic"], self.critic_spec, feat)
             value = v[..., 0]
@@ -159,8 +177,16 @@ class PPO:
         mb = gather_minibatch(rs, ep, t)
         value_old = rs.value[ep, t]  # V recorded at acting time
 
+        if self.recurrent:
+            from smarties_tpu.algos.base import bptt_window, seq_outputs
+            xs, active = bptt_window(rs, ep, t, cfg.nnBPTTseq)
+
         def loss(net):
-            feat = self._feat(net, mb.s_t)
+            if self.recurrent:
+                feat = seq_outputs(net["enc"], self.enc_spec,
+                                   xs, active)[0]
+            else:
+                feat = self._feat(net, mb.s_t)
             pol, _ = apply_net(net["actor"], self.actor_spec, feat)
             v, _ = apply_net(net["critic"], self.critic_spec, feat)
             v = v[..., 0]

@@ -195,39 +195,11 @@ class VRacer:
             # Truncated BPTT over a window ending at the sampled step
             # (reference: per-sample windows [t - nnBPTTseq, t + 2) with
             # zeroed context at window start, MemoryBuffer.cpp:393-402,
-            # Network.h:155-193 backProp). One lax.scan over W+1 steps:
-            # positions t-W+1..t (history + sampled step) then t+1.
-            from smarties_tpu.models.net import init_carry
-            W = cfg.nnBPTTseq
-            offs = jnp.arange(-W + 1, 2)
-            tw = t[:, None] + offs[None, :]               # [B, W+1]
-            active = tw >= 0
-            twc = jnp.clip(tw, 0, rs.max_len)
-            xs = (rs.states[ep[:, None], twc]
-                  - rs.state_mean) * rs.state_scale       # [B, W+1, dimS]
-            xs = jnp.where(active[..., None], xs, 0.0)
-            xs_t = jnp.moveaxis(xs, 1, 0)                 # [W+1, B, dimS]
-            m_t = jnp.moveaxis(active, 1, 0)              # [W+1, B]
-            carry0 = init_carry(spec, (B,))
-
-            def fwd_seq(p):
-                def step(c, inp):
-                    x, m = inp
-                    y, c2 = apply_net(p, spec, x, c)
-                    c2 = jax.tree_util.tree_map(
-                        lambda a, b: jnp.where(m[:, None], a, b), c2, c)
-                    return c2, y
-
-                _, ys = jax.lax.scan(step, carry0, (xs_t, m_t))
-                return ys                                  # [W+1, B, nouts]
-
-            ys, vjp_seq = jax.vjp(fwd_seq, params)
-            out = ys[W - 1]
-            out_next_pre = ys[W]
-
-            def pullback(g):
-                g_full = jnp.zeros_like(ys).at[W - 1].set(g)
-                return vjp_seq(g_full)[0]
+            # Network.h:155-193 backProp). Shared machinery in base.py.
+            from smarties_tpu.algos.base import bptt_window, seq_forward_vjp
+            xs, active = bptt_window(rs, ep, t, cfg.nnBPTTseq)
+            out, out_next_pre, pullback = seq_forward_vjp(
+                params, spec, xs, active)
         else:
             out, vjp_fn = jax.vjp(lambda p: fwd(p, mb.s_t), params)
             out_next_pre = None

@@ -95,6 +95,74 @@ def adam_step(params, grads, state: AdamState, cfg: AdamConfig,
     return new_w, AdamState(new_m1, new_m2, bt1, bt2, state.step + 1)
 
 
+class FlatAdamState(NamedTuple):
+    """AdamState with the moments stored as ONE flat vector across all
+    parameter leaves — the TPU-friendly layout: the whole Adam sweep is a
+    single fused elementwise kernel instead of one per leaf (the reference
+    likewise runs Adam as one `omp for simd` sweep over the flat weight
+    blob, Optimizer.cpp:122-155; Parameters.h stores weights flat)."""
+    m1: jnp.ndarray
+    m2: jnp.ndarray
+    beta_t_1: jnp.ndarray
+    beta_t_2: jnp.ndarray
+    step: jnp.ndarray
+
+
+def _flat_meta(params):
+    leaves, tdef = jax.tree_util.tree_flatten(params)
+    shapes = [x.shape for x in leaves]
+    sizes = [int(np.prod(s)) for s in shapes]
+    return leaves, tdef, shapes, sizes
+
+
+def _ravel(leaves):
+    return jnp.concatenate([jnp.ravel(x) for x in leaves]) if len(leaves) > 1 \
+        else jnp.ravel(leaves[0])
+
+
+def adam_init_flat(params) -> FlatAdamState:
+    n = sum(int(np.prod(x.shape))
+            for x in jax.tree_util.tree_leaves(params))
+    z = jnp.zeros((n,), jnp.float32)
+    return FlatAdamState(m1=z, m2=z, beta_t_1=jnp.float32(0.9),
+                         beta_t_2=jnp.float32(0.999), step=jnp.int32(0))
+
+
+def adam_step_flat(params, grads, state: FlatAdamState, cfg: AdamConfig,
+                   grad_factor):
+    """Identical math to adam_step, over flat moment vectors."""
+    leaves, tdef, shapes, sizes = _flat_meta(params)
+    wv = _ravel(leaves)
+    gv = _ravel(jax.tree_util.tree_flatten(grads)[0])
+
+    b1, b2 = cfg.beta1, cfg.beta2
+    eta = cfg.eta
+    if cfg.anneal_lr:
+        eta = anneal_rate(eta, state.step.astype(jnp.float32),
+                          cfg.eps_anneal)
+    eta_t = eta * jnp.sqrt(1 - state.beta_t_2) / (1 - state.beta_t_1)
+
+    dw = grad_factor * gv
+    m1n = b1 * state.m1 + (1 - b1) * dw
+    m2n = b2 * state.m2 + (1 - b2) * dw * dw
+    m2n = jnp.maximum(m2n, m1n * m1n)               # SAFE_ADAM
+    numer = b1 * m1n + (1 - b1) * dw                # NESTEROV_ADAM
+    ret = numer / (NN_EPS + jnp.sqrt(m2n))
+    new_wv = wv + eta_t * (ret - wv * cfg.lambda_)  # AdamW decoupled decay
+
+    offs = np.cumsum([0] + sizes)
+    new_leaves = [jax.lax.dynamic_slice_in_dim(new_wv, int(offs[i]),
+                                               sizes[i]).reshape(shapes[i])
+                  for i in range(len(sizes))]
+    new_params = jax.tree_util.tree_unflatten(tdef, new_leaves)
+
+    bt1 = state.beta_t_1 * b1
+    bt1 = jnp.where(bt1 < NN_EPS, 0.0, bt1)
+    bt2 = state.beta_t_2 * b2
+    bt2 = jnp.where(bt2 < NN_EPS, 0.0, bt2)
+    return new_params, FlatAdamState(m1n, m2n, bt1, bt2, state.step + 1)
+
+
 def update_target(params, target, target_delay: float, step):
     """Frozen/target weight update (Optimizer.cpp:163-178).
 

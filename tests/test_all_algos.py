@@ -98,3 +98,44 @@ class TestAllAlgos:
         from smarties_tpu.algos.vracer import VRacer
         run_algo(VRacer, cartpole, cartpole.MDP,
                  {"nnType": "GRU", "nnBPTTseq": 8})
+
+    # Recurrent paths for the non-RACER families (the reference's Builder
+    # gives every learner LSTM/GRU nets; here DQN/NAF carry the recurrence
+    # in the single net, DPG/PPO in the shared encoder trunk).
+    def test_lstm_dqn(self):
+        from smarties_tpu.algos.dqn import DQN
+        run_algo(DQN, cartpole.discrete, cartpole.discrete.MDP,
+                 {"learner": "DQN", "clipImpWeight": 4.0,
+                  "nnType": "LSTM", "nnBPTTseq": 8})
+
+    def test_lstm_dqn_1step_target(self):
+        from smarties_tpu.algos.dqn import DQN
+        run_algo(DQN, cartpole.discrete, cartpole.discrete.MDP,
+                 {"learner": "DQN", "clipImpWeight": 0.0,
+                  "returnsEstimator": "none",
+                  "nnType": "LSTM", "nnBPTTseq": 8})
+
+    def test_gru_naf(self):
+        from smarties_tpu.algos.naf import NAF
+        run_algo(NAF, cartpole, cartpole.MDP,
+                 {"learner": "NAF", "returnsEstimator": "retrace",
+                  "nnType": "GRU", "nnBPTTseq": 8})
+
+    def test_lstm_dpg(self):
+        from smarties_tpu.algos.dpg import DPG
+        run_algo(DPG, cartpole, cartpole.MDP,
+                 {"learner": "DPG", "returnsEstimator": "retrace",
+                  "nnType": "LSTM", "nnBPTTseq": 8})
+
+    def test_lstm_dpg_1step_target(self):
+        from smarties_tpu.algos.dpg import DPG
+        run_algo(DPG, cartpole, cartpole.MDP,
+                 {"learner": "DPG", "returnsEstimator": "none",
+                  "nnType": "LSTM", "nnBPTTseq": 8})
+
+    def test_lstm_ppo(self):
+        from smarties_tpu.algos.ppo import PPO
+        run_algo(PPO, cartpole, cartpole.MDP,
+                 {"learner": "PPO", "clipImpWeight": 0.2,
+                  "maxTotObsNum": 512, "obsPerStep": 6.4,
+                  "nnType": "LSTM", "nnBPTTseq": 8})
