@@ -40,6 +40,9 @@ def main():
                    help="device-mesh learner shards")
     p.add_argument("--randSeed", type=int, default=0)
     p.add_argument("--maxEpisodeLength", type=int, default=1024)
+    p.add_argument("--logAllSamples", action="store_true",
+                   help="write agent_*_obs.raw raw-observation stream "
+                        "(reference --logAllSamples analog)")
     args = p.parse_args()
 
     run_dir = os.path.join(args.runprefix, args.runname)
@@ -86,7 +89,8 @@ def main():
             return
         tr = Trainer(env, env.MDP, cfg, n_envs=args.nEnvironments,
                      run_dir=run_dir, mesh=mesh,
-                     max_len=min(args.maxEpisodeLength, env.MAX_STEPS))
+                     max_len=min(args.maxEpisodeLength, env.MAX_STEPS),
+                     obs_log=args.logAllSamples)
         tr.train(args.nTrainSteps)
         tr.save(os.path.join(run_dir, "checkpoint.pkl"))
     else:

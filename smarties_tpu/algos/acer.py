@@ -333,6 +333,8 @@ class ACER:
         is_far = rb.is_far_policy(rho[:, :S], rs.cmax_ret, rs.cinv_ret)
         metrics = default_metrics(dkl[:, :S], rho[:, :S], is_far, frac_off,
                                   rs.beta, q_err, v_st[:, :S], axis_name)
+        from smarties_tpu.algos.base import grad_stats
+        metrics.update(grad_stats(grads))
         return new_params, new_opt, rs, metrics
 
     # ------------------------------------------------------------------

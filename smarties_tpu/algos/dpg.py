@@ -282,6 +282,8 @@ class DPG:
                                             axis_name)
         metrics = default_metrics(dkl, rho, is_far, frac_off, rs.beta,
                                   err, v_val, axis_name)
+        from smarties_tpu.algos.base import grad_stats
+        metrics.update(grad_stats(grads))
         return new_params, new_opt, rs, metrics
 
     # ------------------------------------------------------------------

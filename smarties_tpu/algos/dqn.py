@@ -178,6 +178,8 @@ class DQN:
                                             axis_name)
         metrics = default_metrics(dkl, rho, is_far, frac_off, rs.beta,
                                   td_error, v_val, axis_name)
+        from smarties_tpu.algos.base import grad_stats
+        metrics.update(grad_stats(grads))
         return new_params, new_opt, rs, metrics
 
     # ------------------------------------------------------------------

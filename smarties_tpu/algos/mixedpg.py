@@ -213,6 +213,8 @@ class MixedPG:
                                             a_ret - a_est, axis_name)
         metrics = default_metrics(dkl, rho, is_far, frac_off, rs.beta,
                                   a_ret - a_est, v_est, axis_name)
+        from smarties_tpu.algos.base import grad_stats
+        metrics.update(grad_stats(grads))
         return new_net, new_opt, rs, metrics
 
     # ------------------------------------------------------------------

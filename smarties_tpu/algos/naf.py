@@ -206,6 +206,8 @@ class NAF:
                                             axis_name)
         metrics = default_metrics(dkl, rho, is_far, frac_off, rs.beta,
                                   error, v, axis_name)
+        from smarties_tpu.algos.base import grad_stats
+        metrics.update(grad_stats(grads))
         return new_params, new_opt, rs, metrics
 
     # ------------------------------------------------------------------

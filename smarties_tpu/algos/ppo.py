@@ -288,6 +288,8 @@ class PPO:
             "beta": penal, "rmse": jnp.sqrt(jnp.mean(verr * verr)),
             "avg_v": jnp.mean(value_old),
         }
+        from smarties_tpu.algos.base import grad_stats
+        metrics.update(grad_stats(grads))
         return new_params, new_opt, rs, metrics
 
     # ------------------------------------------------------------------

@@ -74,7 +74,8 @@ class RolloutCarry(NamedTuple):
 def make_rollout_chunk(env_module, mdp, act_fn: Callable,
                        max_tot_obs: int, gamma: float, lam: float,
                        returns_mode: str = "retrace",
-                       filter_algo: str = "oldest"):
+                       filter_algo: str = "oldest",
+                       record_obs: bool = False):
     """Build a jittable `rollout_chunk(params, carry, n_steps)`.
 
     act_fn(params, obs_std, key) -> (learner_action [V,dimA],
@@ -83,6 +84,12 @@ def make_rollout_chunk(env_module, mdp, act_fn: Callable,
 
     Returns per-chunk logs: (done[k,V], length[k,V], ret[k,V]) for the
     host-side cumulative_rewards.dat writer (MemoryBuffer.cpp:491-513).
+
+    record_obs: additionally log per-step raw observations for the
+    agent_*_obs.raw stream (Agent::writeData analog, Agent.h:259-299):
+    logs gain (obs[k,V,dimS], rew_in[k,V], status[k,V], obs_fin[k,V,dimS],
+    rew_fin[k,V], status_fin[k,V]) where the *_fin record is valid only
+    for lanes finishing at that step (status_fin > 0).
     """
     def one_step(params, carry: RolloutCarry):
         rs, ip, es, key, rnn = carry
@@ -150,6 +157,16 @@ def make_rollout_chunk(env_module, mdp, act_fn: Callable,
             max_tot_obs, filter_algo)
 
         log = (done, tnew, ip.cum_reward)
+        if record_obs:
+            # row for the state served this step (reward carried INTO it,
+            # rewards[0]=0 convention) + a second row for lanes whose
+            # successor state ended the episode (TERM=2 / LAST=3)
+            rew_in = ip.rewards[lane, tcur]
+            status = jnp.where(tcur == 0, 0, 1).astype(F32)
+            status_fin = jnp.where(
+                done, jnp.where(terminal, 2.0, 3.0), 0.0)
+            log = log + (obs.astype(F32), rew_in, status,
+                         obs2.astype(F32), reward.astype(F32), status_fin)
         ip = _reset_lanes(ip, done)
         es2 = env_module.reset_where(es2, done, k_reset)
         # zero the recurrent context of finished lanes (AgentContext reset)

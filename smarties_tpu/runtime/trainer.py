@@ -33,7 +33,8 @@ class Trainer:
     def __init__(self, env_module, mdp: MDPSpec, cfg: HyperParameters,
                  n_envs: int = 64, n_slots: Optional[int] = None,
                  max_len: int = 512, run_dir: Optional[str] = None,
-                 algo_cls=VRacer, mesh=None, state_dtype=None):
+                 algo_cls=VRacer, mesh=None, state_dtype=None,
+                 obs_log: bool = False):
         """mesh: optional jax.sharding.Mesh with a "learners" axis — shards
         the replay (slot axis) and envs (lane axis) across devices with
         psum'd gradients, the analog of the reference's --nLearners K MPI
@@ -57,6 +58,15 @@ class Trainer:
                 "a")
         else:
             self._rew_file = None
+        # raw obs stream + gradient-moment dump, same formats as the
+        # Engine path / plot viewers (Agent::writeData + StatsTracker
+        # grads_*.raw analogs)
+        self.obs_log = obs_log and run_dir is not None
+        self._obs_file = (open(os.path.join(
+            run_dir, "agent_00_rank00_obs.raw"), "ab")
+            if self.obs_log else None)
+        self._grads_file = (open(os.path.join(
+            run_dir, "grads_rank00.raw"), "ab") if run_dir else None)
 
         self.algo = algo_cls(mdp, cfg)
         key = jax.random.PRNGKey(cfg.randSeed)
@@ -91,7 +101,7 @@ class Trainer:
         chunk_fn = make_rollout_chunk(
             env_module, mdp, act_fn, commit_cap // n_shards,
             cfg.gamma, cfg.lambda_, self.algo.returns_mode,
-            cfg.ERoldSeqFilter)
+            cfg.ERoldSeqFilter, record_obs=self.obs_log)
 
         if mesh is None:
             self._rollout = jax.jit(chunk_fn, static_argnums=2)
@@ -189,7 +199,9 @@ class Trainer:
             self._log_episodes(logs)
 
     def _log_episodes(self, logs):
-        done, length, ret = logs
+        done, length, ret = logs[:3]
+        if self._obs_file is not None and len(logs) > 3:
+            self._write_obs_rows(logs[3:])
         done = np.asarray(done)
         if not done.any():
             return
@@ -205,6 +217,28 @@ class Trainer:
                     f"{self.n_grad_steps} {self.n_env_steps} {a} {l} {r}\n")
         if len(self._ep_returns) > 1000:
             self._ep_returns = self._ep_returns[-1000:]
+
+    def _write_obs_rows(self, rec):
+        """Append f32 rows [lane, status, state..., reward] in env-step
+        order — the agent_*_obs.raw format shared with the Engine path
+        (runtime/engine.py, Agent.h:259-299)."""
+        obs, rew_in, status, obs_f, rew_f, status_f = \
+            (np.asarray(x, np.float32) for x in rec)
+        k, V = status.shape
+        lane = np.broadcast_to(np.arange(V, dtype=np.float32), (k, V))
+        row = np.concatenate(  # [k, V, 2 + dimS + 1]
+            [lane[..., None], status[..., None], obs, rew_in[..., None]],
+            axis=-1)
+        row_f = np.concatenate(
+            [lane[..., None], status_f[..., None], obs_f,
+             rew_f[..., None]], axis=-1)
+        out = []
+        for i in range(k):  # keep per-step ordering, final rows after
+            out.append(row[i])
+            fin = status_f[i] > 0
+            if fin.any():
+                out.append(row_f[i][fin])
+        self._obs_file.write(np.concatenate(out).tobytes())
 
     # ------------------------------------------------------------------
     def warmup(self, chunk: int = 64, adaptive: bool = True):
@@ -414,6 +448,13 @@ class Trainer:
               f" | dkl {get('avg_dkl'):.4f} | rmse {get('rmse'):.3f}"
               f" | nEp {int(rs.n_stored_eps())}"
               f" | nObs {int(rs.n_stored_steps())}", flush=True)
+        if self._grads_file is not None and "grad_norm" in m:
+            # gradient-moment dump (StatsTracker grads_*.raw analog):
+            # f32 rows [grad_step, grad_norm, grad_max]
+            self._grads_file.write(np.asarray(
+                [self.n_grad_steps, get("grad_norm"), get("grad_max")],
+                np.float32).tobytes())
+            self._grads_file.flush()
         if full:
             from smarties_tpu.utils.stats import (iw_histogram,
                                                   stats_header, stats_row)
@@ -484,6 +525,7 @@ class Trainer:
             "inprog": jax.device_get(self.carry.inprog),
             "env_state": jax.device_get(self.carry.env_state),
             "key": jax.device_get(self.carry.key),
+            "rnn": jax.device_get(self.carry.rnn),
             "host_key": jax.device_get(self.key),
             "n_env_steps": self.n_env_steps,
             "n_grad_steps": self.n_grad_steps,
@@ -501,11 +543,13 @@ class Trainer:
         self.params = jax.device_put(state["params"])
         self.opt_state = jax.tree_util.tree_map(
             jnp.asarray, state["opt_state"])
+        rnn = state.get("rnn", self.carry.rnn)  # zero carry for old ckpts
         self.carry = RolloutCarry(
             jax.tree_util.tree_map(jnp.asarray, state["replay"]),
             jax.tree_util.tree_map(jnp.asarray, state["inprog"]),
             jax.tree_util.tree_map(jnp.asarray, state["env_state"]),
-            jnp.asarray(state["key"]))
+            jnp.asarray(state["key"]),
+            jax.tree_util.tree_map(jnp.asarray, rnn))
         self.key = jnp.asarray(state["host_key"])
         self.n_env_steps = state["n_env_steps"]
         self.n_grad_steps = state["n_grad_steps"]

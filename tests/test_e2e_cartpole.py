@@ -4,6 +4,7 @@ Replaces the reference's apps-as-integration-tests (cart_pole_* demo apps,
 README.rst:226-260): a deterministic short training run must show clear
 learning progress (the full solve takes minutes; CI asserts the trend).
 """
+import jax
 import numpy as np
 import pytest
 
@@ -53,6 +54,60 @@ class TestCartPoleLearning:
         # resumed training continues (counters preserved => pacing resumes)
         tr2.train(10, log_every=10**9)
         assert tr2.n_grad_steps == tr.n_grad_steps + 10
+
+    def test_checkpoint_roundtrip_recurrent(self, tmp_path):
+        """Recurrent trainer: the per-env acting carry (AgentContext
+        analog) must survive save/restore bitwise."""
+        cfg = HyperParameters(minTotObsNum=256, maxTotObsNum=1024,
+                              batchSize=32, obsPerStep=1.0,
+                              nnLayerSizes=[16], nnType="GRU", nnBPTTseq=4)
+        tr = Trainer(cartpole, cartpole.MDP, cfg, n_envs=8, n_slots=64,
+                     max_len=64)
+        tr.warmup(chunk=16)
+        tr.train(20, log_every=10**9)
+        path = str(tmp_path / "ckpt.pkl")
+        tr.save(path)
+        tr2 = Trainer(cartpole, cartpole.MDP, cfg, n_envs=8, n_slots=64,
+                      max_len=64)
+        tr2.restore(path)
+        for a, b in zip(jax.tree_util.tree_leaves(tr.carry.rnn),
+                        jax.tree_util.tree_leaves(tr2.carry.rnn)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert any(np.asarray(x).any()
+                   for x in jax.tree_util.tree_leaves(tr2.carry.rnn))
+        tr2.train(10, log_every=10**9)
+        assert tr2.n_grad_steps == tr.n_grad_steps + 10
+
+    def test_obs_log_stream(self, tmp_path):
+        """Trainer obs_log writes the Engine-compatible raw stream:
+        f32 rows [lane, status, state..., reward] with INIT at episode
+        starts and TERM/LAST rows at episode ends."""
+        cfg = HyperParameters(minTotObsNum=256, maxTotObsNum=1024,
+                              batchSize=32, obsPerStep=1.0,
+                              nnLayerSizes=[16])
+        run_dir = str(tmp_path / "run")
+        tr = Trainer(cartpole, cartpole.MDP, cfg, n_envs=8, n_slots=64,
+                     max_len=64, run_dir=run_dir, obs_log=True)
+        tr.warmup(chunk=16)
+        tr.train(30, log_every=10**9)
+        tr._flush_logs()
+        tr._obs_file.flush()
+        dim_s = cartpole.MDP.dim_state_observed
+        rows = np.fromfile(
+            f"{run_dir}/agent_00_rank00_obs.raw", np.float32)
+        assert rows.size % (dim_s + 3) == 0 and rows.size > 0
+        rows = rows.reshape(-1, dim_s + 3)
+        status = rows[:, 1].astype(int)
+        assert (status == 0).sum() >= 8          # INITs (>= one per lane)
+        assert ((status == 2) | (status == 3)).sum() > 0  # episode ends
+        n_done = int(((status == 2) | (status == 3)).sum())
+        # row count audit: one row per served step + one per episode end
+        assert len(rows) == (status < 2).sum() + n_done
+        assert np.isfinite(rows).all()
+        # grads dump exists and parses
+        tr.log_status()
+        g = np.fromfile(f"{run_dir}/grads_rank00.raw", np.float32)
+        assert g.size % 3 == 0 and g.size > 0 and np.isfinite(g).all()
 
 
 class TestEnvDynamics:
