@@ -33,6 +33,11 @@ def _soft_sign(x):
     return x / (1 + jnp.abs(x))
 
 
+def _safe_exp(x):
+    """Clipped exp (Utilities::safeExp: clamp to [exp(-32), exp(16)])."""
+    return jnp.exp(jnp.clip(x, -32.0, 16.0))
+
+
 _ACTS = {
     "Linear": lambda x: x,
     "Tanh": jnp.tanh,
@@ -43,6 +48,10 @@ _ACTS = {
     "SoftPlus": lambda x: (x + jnp.sqrt(1 + x * x)) / 2,
     "Exp": jnp.exp,
     "HardSign": lambda x: x / jnp.sqrt(1 + x * x),
+    # Functions.h:255-295 HardSigmoid, :364-395 SoftRBF, :493-525 ExpPlus
+    "HardSigmoid": lambda x: 0.5 * (1 + x / jnp.sqrt(1 + x * x)),
+    "SoftRBF": lambda x: 1.0 / (1 + x * x),
+    "ExpPlus": lambda x: jnp.log1p(_safe_exp(x)),
 }
 
 _INIT_FACTOR = {
@@ -52,15 +61,42 @@ _INIT_FACTOR = {
     "Sigm": lambda i, o: np.sqrt(6.0 / (i + o)),
     "SoftSign": lambda i, o: np.sqrt(6.0 / (i + o)),
     "HardSign": lambda i, o: np.sqrt(6.0 / (i + o)),
+    "HardSigmoid": lambda i, o: np.sqrt(6.0 / (i + o)),
+    "SoftRBF": lambda i, o: np.sqrt(6.0 / (i + o)),
     "Relu": lambda i, o: np.sqrt(2.0 / i),
     "LRelu": lambda i, o: np.sqrt(1.0 / i),
     "SoftPlus": lambda i, o: np.sqrt(2.0 / i),
+    "ExpPlus": lambda i, o: np.sqrt(2.0 / i),
     "Exp": lambda i, o: np.sqrt(2.0 / i),
+}
+
+# activation inverses for bias init "so that the initial output equals the
+# requested value" (Layer_Base.h:122-125: biases[o] = func->inverse(init))
+_INVERSE = {
+    "Linear": lambda y: y,
+    "Tanh": np.arctanh,
+    "Sigm": lambda y: np.log(y / (1 - y)),
+    "SoftSign": lambda y: y / (1 - np.abs(y)),
+    "HardSign": lambda y: y / np.sqrt(1 - y * y),
+    "HardSigmoid": lambda y: (2 * y - 1) / np.sqrt(1 - (2 * y - 1) ** 2),
+    "SoftPlus": lambda y: y - 1.0 / (4 * y),
+    "ExpPlus": lambda y: np.log(np.exp(y) - 1),
+    "Exp": np.log,
+    "Relu": lambda y: y,
+    "LRelu": lambda y: y,
+    "SoftRBF": lambda y: np.sqrt(1.0 / y - 1.0),
 }
 
 
 def activation(name: str):
     return _ACTS[name]
+
+
+def join(*xs):
+    """JoinLayer analog (Network/Layers/Layers.h JoinLayer): multiple
+    input streams are concatenated on the feature axis. Aux-input
+    composition (e.g. the DPG critic's action input) uses this."""
+    return jnp.concatenate(xs, axis=-1)
 
 
 @dataclass(frozen=True)
@@ -97,6 +133,10 @@ class NetSpec:
     n_param_out: int = 0            # trainable param head size (stdev)
     param_init: Tuple[float, ...] = ()   # raw bias init of the param head
     out_bias_init: Tuple[float, ...] = ()
+    # skip connections between equal-width FFNN hidden layers
+    # (ResidualLayer, Network/Layers/Layers.h:421-470: the layer's output
+    # is summed with the previous layer's output)
+    residual: bool = False
     # conv preprocessing stack applied to the (flattened-image) input
     # before the dense layers (Builder::addConv2d, Conv2Dfactory.h)
     conv: Tuple[Conv2DDesc, ...] = ()
@@ -190,7 +230,11 @@ def init_params(key, spec: NetSpec) -> Dict:
     fac = spec.out_prefac * _INIT_FACTOR[spec.out_act](nin, spec.n_out)
     bias = jnp.zeros((spec.n_out,), jnp.float32)
     if spec.out_bias_init:
-        bias = jnp.asarray(spec.out_bias_init, jnp.float32)
+        # bias through the activation inverse so the initial post-
+        # activation output equals the requested value (Layer_Base.h:122-125)
+        bias = jnp.asarray(
+            _INVERSE[spec.out_act](np.asarray(spec.out_bias_init,
+                                              np.float64)), jnp.float32)
     params["out"] = {"W": _uniform(keys[-2], (nin, spec.n_out), fac),
                      "b": bias}
     if spec.n_param_out:
@@ -238,7 +282,11 @@ def apply_net(params: Dict, spec: NetSpec, x, carry=()):
     new_carry = []
     for li, layer in enumerate(params["layers"]):
         if spec.kind == "FFNN":
-            h = act(h @ layer["W"] + layer["b"])
+            h_new = act(h @ layer["W"] + layer["b"])
+            # residual sum when widths match (ResidualLayer, Layers.h:421)
+            if spec.residual and h_new.shape[-1] == h.shape[-1]:
+                h_new = h_new + h
+            h = h_new
         elif spec.kind == "RNN":
             prev = carry[li]
             h = act(h @ layer["W"] + prev @ layer["R"] + layer["b"])

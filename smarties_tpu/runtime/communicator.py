@@ -41,43 +41,68 @@ class Communicator:
             "bounded": None, "upper": None, "lower": None,
             "discrete_values": (), "observable": None,
             "n_agents": 1, "n_appended_obs": 0,
+            # per-agent MDP overrides, keyed by localID; active when
+            # different_mdps (agentsDefineDifferentMDP, Communicator.cpp:207)
+            "agent_overrides": {}, "different_mdps": False,
         }
         self._spec_sent = False
         self._started = [False]
 
+    def _set(self, agent_id: int, **kv):
+        """Route a problem-description field to the shared spec (agent 0)
+        or a per-agent override (Communicator.cpp: every setter indexes
+        ENV.descriptors[agentID])."""
+        if agent_id == 0:
+            self._spec.update(kv)
+        else:
+            ov = self._spec["agent_overrides"].setdefault(int(agent_id), {})
+            ov.update(kv)
+
     # ---------------- problem description (Communicator.h:90-141) -------
     def setStateActionDims(self, dim_state: int, dim_action: int,
                            agent_id: int = 0):
-        self._spec["dim_state"] = int(dim_state)
-        self._spec["dim_action"] = int(dim_action)
+        self._set(agent_id, dim_state=int(dim_state),
+                  dim_action=int(dim_action))
 
     def setActionScales(self, upper: Sequence[float],
                         lower: Sequence[float], areBounds: bool = True,
                         agent_id: int = 0):
         n = len(upper)
-        self._spec["upper"] = tuple(float(u) for u in upper)
-        self._spec["lower"] = tuple(float(l) for l in lower)
-        self._spec["bounded"] = tuple([bool(areBounds)] * n)
+        self._set(agent_id,
+                  upper=tuple(float(u) for u in upper),
+                  lower=tuple(float(l) for l in lower),
+                  bounded=tuple([bool(areBounds)] * n))
 
     def setActionOptions(self, options, agent_id: int = 0):
         """Discrete actions: number of options per action component
         (Communicator::setActionOptions)."""
         if np.isscalar(options):
             options = [options]
-        self._spec["discrete_values"] = tuple(int(o) for o in options)
+        self._set(agent_id,
+                  discrete_values=tuple(int(o) for o in options))
 
     def setStateObservable(self, observable: Sequence[bool],
                            agent_id: int = 0):
-        self._spec["observable"] = tuple(bool(b) for b in observable)
+        self._set(agent_id, observable=tuple(bool(b) for b in observable))
 
     def setStateScales(self, upper, lower, agent_id: int = 0):
         # accepted for API parity; runtime normalization is learned online
-        self._spec["state_upper"] = tuple(map(float, upper))
-        self._spec["state_lower"] = tuple(map(float, lower))
+        self._set(agent_id, state_upper=tuple(map(float, upper)),
+                  state_lower=tuple(map(float, lower)))
 
     def setNumAgents(self, n: int):
         self._spec["n_agents"] = int(n)
         self._started = [False] * int(n)
+
+    def agentsDefineDifferentMDP(self):
+        """Each agent within an env gets its own MDP and its own learner
+        (competing-agents mode). Reference: Communicator.cpp:207-219
+        (ENV.initDescriptors(true)); routing Worker.cpp:148,188 maps
+        localID -> learners[localID]. Call after setNumAgents; setters then
+        take agent_id to describe each agent's problem."""
+        assert self._spec["n_agents"] > 1, \
+            "call setNumAgents(>1) before agentsDefineDifferentMDP"
+        self._spec["different_mdps"] = True
 
     def setNumAppendedPastObservations(self, n: int):
         self._spec["n_appended_obs"] = int(n)
@@ -153,9 +178,17 @@ class Communicator:
         self.sendTermState(np.zeros(1), -float(result), agent_id)
 
 
-def spec_to_mdp(spec: dict):
-    """Build an MDPSpec from a Communicator problem description."""
+def spec_to_mdp(spec: dict, agent_id: int = 0):
+    """Build an MDPSpec from a Communicator problem description.
+
+    agent_id selects the per-agent descriptor when the env declared
+    different MDPs per agent (Environment::initDescriptors(true),
+    Environment.h:84-97); otherwise all agents share descriptor 0."""
     from smarties_tpu.core.mdp import MDPSpec
+    if agent_id and spec.get("different_mdps"):
+        # per-agent override on top of the shared (agent-0) description
+        spec = dict(spec, **spec.get("agent_overrides", {}).get(
+            int(agent_id), {}))
     dim_s, dim_a = spec["dim_state"], spec["dim_action"]
     assert dim_s is not None and dim_a is not None, \
         "env must call setStateActionDims before sending states"
@@ -174,3 +207,12 @@ def spec_to_mdp(spec: dict):
     if spec.get("observable") is not None:
         kw["observable"] = spec["observable"]
     return MDPSpec(**kw)
+
+
+def spec_to_mdps(spec: dict):
+    """All learner MDPs of an env spec: one per agent when
+    different_mdps, else a single shared one (Worker::getLearnerID,
+    Worker.cpp:188: learnerID = localID iff nLearners > 1)."""
+    if spec.get("different_mdps"):
+        return [spec_to_mdp(spec, a) for a in range(spec["n_agents"])]
+    return [spec_to_mdp(spec)]

@@ -8,6 +8,21 @@ into one jitted action-selection call, assembles episodes host-side, and
 commits them to the on-device replay; training interleaves under the
 obsPerStep pacing invariant (Learner.cpp:102-123).
 
+Capabilities matching the reference serving stack:
+- multiple learners per session when the app declares per-agent MDPs
+  (Communicator::agentsDefineDifferentMDP, Environment.h:84-97;
+  lane -> learners[localID] routing, Worker.cpp:148,188);
+- per-agent persistent recurrent contexts so LSTM/GRU policies serve
+  external envs (AgentContext, Network/ThreadContext.h:19-100,
+  Approximator.h:89-96);
+- env throttling: action replies are withheld until training catches up
+  with the obsPerStep ratio (learnersBlockingDataAcquisition,
+  Core/Master.cpp:118-144);
+- FAIL-status / env-crash handling: the agent's in-progress episode is
+  dropped and its recurrent context reset (Agent.h:83-86); crashed apps
+  are respawned by the EnvPool (vs Worker.cpp:146's die());
+- periodic checkpoints every saveFreq grad steps (Learner.cpp:146).
+
 Usage (mirrors README.rst:104-133 / smarties_pybind11.cpp):
 
     import smarties_tpu
@@ -29,6 +44,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import pickle
 import time
 from typing import Callable, List, Optional
 
@@ -37,7 +53,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from smarties_tpu.replay import buffer as rb
-from smarties_tpu.runtime.communicator import CONT, INIT, LAST, TERM
+from smarties_tpu.runtime.communicator import CONT, FAIL, INIT, LAST, TERM
 from smarties_tpu.runtime.env_pool import EnvPool
 from smarties_tpu.utils.config import HyperParameters
 
@@ -89,6 +105,157 @@ class _EpisodeAssembler:
         ret = float(np.sum(self.rewards))
         self.reset()
         return states, acts, mus, rewards, value, adv, T, terminal, ret
+
+
+class _LearnerBundle:
+    """One learner + its replay + jitted programs + pacing counters — the
+    reference's learners vector entry (Worker.cpp:144-186: each incoming
+    agent state routes to learners[getLearnerID(localID)])."""
+
+    def __init__(self, learner_id: int, mdp, cfg: HyperParameters,
+                 lanes: List[int], max_ep_len: int):
+        from smarties_tpu.algos.registry import make_learner
+        self.learner_id = learner_id
+        self.mdp = mdp
+        self.cfg = cfg
+        self.lanes = list(lanes)
+        self.lane_slot = {lane: i for i, lane in enumerate(self.lanes)}
+        self.max_ep_len = max_ep_len
+        self.algo = make_learner(mdp, cfg)
+        self.obs_idx = np.nonzero(mdp.observable_mask)[0]
+
+        key = jax.random.PRNGKey(cfg.randSeed)
+        key = jax.random.fold_in(key, learner_id)
+        self.key, k_init = jax.random.split(key)
+        self.params, self.opt_state = self.algo.init(k_init)
+        n_slots = max(64, 2 * cfg.maxTotObsNum // max(8, max_ep_len // 8))
+        self.rs = rb.init_replay(n_slots, max_ep_len,
+                                 mdp.dim_state_observed, mdp.dim_action,
+                                 mdp.dim_policy, cfg.clipImpWeight)
+        self.act_jit = jax.jit(self.algo.make_act_fn(train=cfg.bTrain))
+        # per-agent persistent recurrent context for acting
+        # (AgentContext analog); () for feed-forward nets
+        self.rnn = (self.algo.init_rnn(len(self.lanes))
+                    if hasattr(self.algo, "init_rnn") else ())
+
+        algo = self.algo
+
+        def commit_one(rs, states, acts, mus, rewards, value, adv, length,
+                       terminal):
+            """Ingest one finished host-assembled episode
+            (MemoryBuffer::terminateCurrentEpisode, :118-170)."""
+            from smarties_tpu.ops.returns import batched_return_estimate
+            L1 = rs.max_len + 1
+            rho = (jnp.arange(L1)[None, :]
+                   < length[:, None]).astype(jnp.float32)
+            r_scaled = (rewards - rs.rew_mean) * rs.rew_scale
+            mode = algo.returns_mode
+            qret = (batched_return_estimate(
+                r_scaled, value, adv, rho, length, terminal,
+                cfg.gamma, cfg.lambda_, mode,
+                err_baseline=rs.max_abs_error)
+                if mode != "none" else jnp.zeros_like(value))
+            return rb.commit_episodes(
+                rs, states, acts, mus, rewards, value, adv, qret, rho,
+                length, terminal, jnp.ones((1,), bool),
+                cfg.maxTotObsNum, cfg.ERoldSeqFilter)
+
+        self.commit_jit = jax.jit(commit_one)
+
+        def train_chunk(params, opt_state, rs, key, n):
+            def body(c, k):
+                p, o, r = c
+                p, o, r, m = algo.train_step(p, o, r, k)
+                return (p, o, r), m
+
+            ks = jax.random.split(key, n)
+            (params, opt_state, rs), ms = jax.lax.scan(
+                body, (params, opt_state, rs), ks)
+            return params, opt_state, rs, ms
+
+        self.train_jit = jax.jit(train_chunk, static_argnums=4)
+        self.refresh_jit = jax.jit(algo.refresh)
+        self.init_stats_jit = jax.jit(algo.initialize_stats)
+
+        # counters (per-learner, like Learner.h's nGradSteps/nLocTimeSteps)
+        self.n_env_steps = 0
+        self.n_grad = 0
+        self.start_env_steps = 0
+        self.initialized = False
+        self.last_refresh = 0
+
+    # ------------------------------------------------------------------
+    def reset_rnn_lane(self, lane: int):
+        """Zero the recurrent context of one agent lane (AgentContext
+        reset at episode start / FAIL)."""
+        if self.rnn == ():
+            return
+        i = self.lane_slot[lane]
+        self.rnn = jax.tree_util.tree_map(
+            lambda h: h.at[i].set(0.0), self.rnn)
+
+    def commit(self, ep_arrays, T, terminal):
+        self.rs = self.commit_jit(
+            self.rs, *[jnp.asarray(a)[None] for a in ep_arrays],
+            jnp.asarray([T], jnp.int32), jnp.asarray([terminal]))
+
+    # pacing (Learner::blockDataAcquisition, Learner.cpp:102-113)
+    def allowed_grad_steps(self, target: int) -> int:
+        allowed = int((self.n_env_steps - self.start_env_steps)
+                      / self.cfg.obsPerStep) - self.n_grad
+        return min(allowed, target - self.n_grad)
+
+    def blocking_data(self, target: int) -> bool:
+        """learnersBlockingDataAcquisition (Master.cpp:129): replies are
+        withheld while the learner is behind on grad steps."""
+        return self.initialized and self.allowed_grad_steps(target) > 0
+
+    def maybe_init_stats(self):
+        if (not self.initialized and
+                int(self.rs.n_stored_steps()) >= self.cfg.minTotObsNum):
+            self.rs = self.init_stats_jit(self.rs)
+            self.initialized = True
+            self.start_env_steps = self.n_env_steps
+
+    def train_to_pace(self, target: int, quantum: int = 100):
+        """Run grad steps until the obsPerStep invariant is restored —
+        called BEFORE replying to envs, so envs stall exactly like the
+        reference's withheld replies (Master.cpp:118-144)."""
+        self.maybe_init_stats()
+        if not self.initialized:
+            return
+        while True:
+            n_tr = min(quantum, self.allowed_grad_steps(target))
+            if n_tr <= 0:
+                return
+            self.key, k_tr = jax.random.split(self.key)
+            self.params, self.opt_state, self.rs, _ = self.train_jit(
+                self.params, self.opt_state, self.rs, k_tr, n_tr)
+            self.n_grad += n_tr
+            if self.n_grad // 1000 > self.last_refresh // 1000:
+                self.last_refresh = self.n_grad
+                self.rs = self.refresh_jit(self.rs, float(self.n_grad))
+
+    # ------------------------------------------------------------------
+    def snapshot(self) -> dict:
+        return {"params": jax.device_get(self.params),
+                "opt_state": jax.device_get(self.opt_state),
+                "replay": jax.device_get(self.rs),
+                "n_grad_steps": self.n_grad,
+                "n_env_steps": self.n_env_steps,
+                "initialized": self.initialized,
+                "start_env_steps": self.start_env_steps}
+
+    def restore(self, snap: dict):
+        self.params = jax.tree_util.tree_map(jnp.asarray, snap["params"])
+        self.opt_state = jax.tree_util.tree_map(jnp.asarray,
+                                                snap["opt_state"])
+        self.rs = jax.tree_util.tree_map(jnp.asarray, snap["replay"])
+        self.n_grad = snap.get("n_grad_steps", 0)
+        self.n_env_steps = snap.get("n_env_steps", 0)
+        self.initialized = snap.get("initialized", True)
+        self.start_env_steps = snap.get(
+            "start_env_steps", max(0, self.n_env_steps - self.n_grad))
 
 
 class Engine:
@@ -158,112 +325,94 @@ class Engine:
             pool = EnvPool(app_main, self.n_envs, seed=cfg.randSeed)
         mdp = pool.probe_spec()
         self.mdp = mdp
+        n_agents = pool.n_agents
+        n_lanes = pool.n_lanes
+        mdps = getattr(pool, "mdps", [mdp])
+        n_learners = len(mdps)
 
-        from smarties_tpu.algos.registry import make_learner
-        algo = make_learner(mdp, cfg)
-        self.algo = algo
+        # lane -> learner routing (Worker::getLearnerID, Worker.cpp:188:
+        # learnerID == localID iff multiple learners, else 0)
+        lane_learner = [(lane % n_agents) if n_learners > 1 else 0
+                        for lane in range(n_lanes)]
+        bundles = [_LearnerBundle(
+            l, mdps[l],
+            cfg,
+            [lane for lane in range(n_lanes) if lane_learner[lane] == l],
+            self.max_ep_len) for l in range(n_learners)]
+        self.learners = bundles
+        self.algo = bundles[0].algo
 
-        key = jax.random.PRNGKey(cfg.randSeed)
-        key, k_init = jax.random.split(key)
-        params, opt_state = algo.init(k_init)
-        n_slots = max(64, 2 * cfg.maxTotObsNum // max(8, self.max_ep_len // 8))
-        rs = rb.init_replay(n_slots, self.max_ep_len,
-                            mdp.dim_state_observed, mdp.dim_action,
-                            mdp.dim_policy, cfg.clipImpWeight)
+        lanes = [_EpisodeAssembler() for _ in range(n_lanes)]
+        # per-lane obs history for acting (frame stacking clamped at the
+        # episode start, Episode::standardizedState)
+        hist: List[list] = [[] for _ in range(n_lanes)]
+        untracked = set(pool.spec.get("untracked_agents", ()))
 
-        act_jit = jax.jit(algo.make_act_fn(train=cfg.bTrain))
-
-        def commit_one(rs, states, acts, mus, rewards, value, adv, length,
-                       terminal):
-            """Ingest one finished host-assembled episode
-            (MemoryBuffer::terminateCurrentEpisode, :118-170)."""
-            from smarties_tpu.ops.returns import batched_return_estimate
-            L1 = rs.max_len + 1
-            rho = (jnp.arange(L1)[None, :]
-                   < length[:, None]).astype(jnp.float32)
-            r_scaled = (rewards - rs.rew_mean) * rs.rew_scale
-            mode = algo.returns_mode
-            qret = (batched_return_estimate(
-                r_scaled, value, adv, rho, length, terminal,
-                cfg.gamma, cfg.lambda_, mode,
-                err_baseline=rs.max_abs_error)
-                if mode != "none" else jnp.zeros_like(value))
-            return rb.commit_episodes(
-                rs, states, acts, mus, rewards, value, adv, qret, rho,
-                length, terminal, jnp.ones((1,), bool),
-                cfg.maxTotObsNum, cfg.ERoldSeqFilter)
-
-        commit_jit = jax.jit(commit_one, donate_argnums=0)
-
-        def train_chunk(params, opt_state, rs, key, n):
-            def body(c, k):
-                p, o, r = c
-                p, o, r, m = algo.train_step(p, o, r, k)
-                return (p, o, r), m
-
-            ks = jax.random.split(key, n)
-            (params, opt_state, rs), ms = jax.lax.scan(
-                body, (params, opt_state, rs), ks)
-            return params, opt_state, rs, ms
-
-        train_jit = jax.jit(train_chunk, static_argnums=4)
-        refresh_jit = jax.jit(algo.refresh)
-        init_stats_jit = jax.jit(algo.initialize_stats)
-
-        lanes = [_EpisodeAssembler() for _ in range(pool.n_lanes)]
-        start_env_steps = 0
-        obs_idx = np.nonzero(mdp.observable_mask)[0]  # replay stores
-        # observed dims only (latent dims are app-side, StateAction.h:125)
         # eval mode (bTrain == 0, --nEvalEpisodes): serve deterministic
         # actions, no training (Engine.cpp:92-95, Worker.cpp:91-111)
         eval_mode = not cfg.bTrain
         eval_episodes_done = 0
-        eval_returns = []
-        obs_file = None
+        n_env_steps_total = 0
+        obs_file = rew_file = None
         if self.run_dir:
+            os.makedirs(self.run_dir, exist_ok=True)
             # raw obs logging (Agent::writeData analog, Agent.h:259-299):
             # f32 rows [lane, status, state..., reward]
             obs_file = open(os.path.join(self.run_dir,
                                          "agent_00_rank00_obs.raw"), "ab")
-        n_env_steps = 0
-        n_grad = 0
-        initialized = False
-        last_refresh = 0
-        rew_file = None
-        if self.run_dir:
-            os.makedirs(self.run_dir, exist_ok=True)
             rew_file = open(os.path.join(
                 self.run_dir, "agent_00_rank00_cumulative_rewards.dat"), "a")
 
         # restart from a checkpoint (Engine::setRestartFolderPath)
         if self.restart_path and os.path.exists(self.restart_path):
-            import pickle
             with open(self.restart_path, "rb") as f:
                 snap = pickle.load(f)
-            params = jax.tree_util.tree_map(jnp.asarray, snap["params"])
-            opt_state = jax.tree_util.tree_map(jnp.asarray,
-                                               snap["opt_state"])
-            rs = jax.tree_util.tree_map(jnp.asarray, snap["replay"])
-            n_grad = snap.get("n_grad_steps", 0)
-            n_env_steps = snap.get("n_env_steps", 0)
-            initialized = snap.get("initialized", True)
-            start_env_steps = snap.get("start_env_steps",
-                                       max(0, n_env_steps - n_grad))
+            if "learners" in snap:
+                for b, s in zip(bundles, snap["learners"]):
+                    b.restore(s)
+            else:   # single-learner snapshot format
+                bundles[0].restore(snap)
 
+        def save_checkpoint():
+            snap = {"learners": [b.snapshot() for b in bundles],
+                    "n_grad_steps": bundles[0].n_grad,
+                    "n_env_steps": bundles[0].n_env_steps,
+                    "cfg": cfg.to_dict()}
+            tmp = os.path.join(self.run_dir, "checkpoint.pkl.tmp")
+            with open(tmp, "wb") as f:
+                pickle.dump(snap, f)
+            os.replace(tmp, os.path.join(self.run_dir, "checkpoint.pkl"))
+
+        last_save = 0
         t0 = time.time()
         try:
-            while n_grad < self.train_steps and \
-                    time.time() - t0 < max_wall_s:
+            while (any(b.n_grad < self.train_steps for b in bundles)
+                   and time.time() - t0 < max_wall_s):
                 if eval_mode and eval_episodes_done >= self.n_eval_episodes:
                     break
                 # ---- serve all envs one round ----
                 events, states, rewards, statuses = pool.gather_states()
-                untracked = set(pool.spec.get("untracked_agents", ()))
                 for lane, status, state, reward in events:
-                    if (lane % pool.n_agents) in untracked:
+                    b = bundles[lane_learner[lane]]
+                    if status == FAIL:
+                        # env crashed: drop the in-progress episode and
+                        # reset the agent context (Agent.h:83-86)
+                        lanes[lane].reset()
+                        hist[lane] = []
+                        b.reset_rnn_lane(lane)
+                        continue
+                    obs = state[b.obs_idx]
+                    if status == INIT:
+                        hist[lane] = [obs]
+                        b.reset_rnn_lane(lane)
+                    else:
+                        hist[lane].append(obs)
+                        if len(hist[lane]) > b.mdp.n_appended_obs + 1:
+                            hist[lane] = hist[lane][-(b.mdp.n_appended_obs
+                                                      + 1):]
+                    if (lane % n_agents) in untracked:
                         # acting-only agents: serve actions, store nothing
-                        # (trackEpisodes=false fast path,
-                        # MemoryBuffer.cpp:50-98)
+                        # (trackEpisodes=false, MemoryBuffer.cpp:50-98)
                         continue
                     if obs_file is not None:
                         row = np.concatenate([[lane, status], state,
@@ -273,91 +422,74 @@ class Engine:
                         eval_episodes_done += 1
                     if status == INIT:
                         lanes[lane].reset()
-                        lanes[lane].add_state(state[obs_idx], 0.0)
+                        lanes[lane].add_state(obs, 0.0)
                     else:
-                        lanes[lane].add_state(state[obs_idx], reward)
-                        n_env_steps += 1
+                        lanes[lane].add_state(obs, reward)
+                        b.n_env_steps += 1
+                        n_env_steps_total += 1
                     if status in (TERM, LAST):
                         arrs = lanes[lane].finalize(status == TERM,
                                                     self.max_ep_len)
                         *ep_arrays, T, term, ret = arrs
-                        rs = commit_jit(
-                            rs, *[jnp.asarray(a)[None] for a in ep_arrays],
-                            jnp.asarray([T], jnp.int32),
-                            jnp.asarray([term]))
+                        b.commit(ep_arrays, T, term)
                         if rew_file:
-                            rew_file.write(f"{n_grad} {n_env_steps} "
-                                           f"{lane} {T} {ret}\n")
-                # ---- act on pending requests (batched) ----
-                k_app = mdp.n_appended_obs
-                if k_app:
-                    # frame stacking from per-lane history (clamped at the
-                    # episode start, Episode::standardizedState)
-                    stacked = np.stack([
-                        np.concatenate([
-                            ln.obs[max(len(ln.obs) - 1 - j, 0)]
-                            for j in range(k_app + 1)])
-                        for ln in lanes])
-                    obs = jnp.asarray(stacked, jnp.float32)
-                else:
-                    obs = mdp.observed(jnp.asarray(states, jnp.float32))
-                n_tile = k_app + 1
-                obs_std = ((obs.reshape(obs.shape[0], n_tile, -1)
-                            - rs.state_mean) * rs.state_scale
-                           ).reshape(obs.shape[0], -1)
-                key, k_act = jax.random.split(key)
-                a, mu, val, adv, _ = act_jit(params, obs_std, k_act)
-                env_act = np.asarray(mdp.learner_to_env_action(a),
-                                     np.float64)
-                a_np, mu_np = np.asarray(a), np.asarray(mu)
-                v_np, adv_np = np.asarray(val), np.asarray(adv)
-                for lane in range(pool.n_lanes):
-                    if (lane % pool.n_agents) in untracked:
-                        lanes[lane].reset()
-                        continue
-                    lanes[lane].add_action(a_np[lane], mu_np[lane],
-                                           v_np[lane], adv_np[lane])
-                pool.send_actions(env_act)
+                            rew_file.write(
+                                f"{b.n_grad} {n_env_steps_total} "
+                                f"{lane} {T} {ret}\n")
 
-                # ---- training, paced by obsPerStep ----
-                if eval_mode:
-                    continue
-                if not initialized:
-                    if int(rs.n_stored_steps()) >= cfg.minTotObsNum:
-                        rs = init_stats_jit(rs)
-                        initialized = True
-                        start_env_steps = n_env_steps
-                    continue
-                allowed = int((n_env_steps - start_env_steps)
-                              / cfg.obsPerStep) - n_grad
-                n_tr = min(100, allowed, self.train_steps - n_grad)
-                if n_tr > 0:
-                    key, k_tr = jax.random.split(key)
-                    params, opt_state, rs, _ = train_jit(
-                        params, opt_state, rs, k_tr, n_tr)
-                    n_grad += n_tr
-                    if n_grad // 1000 > last_refresh // 1000:
-                        last_refresh = n_grad
-                        rs = refresh_jit(rs, float(n_grad))
+                # ---- training BEFORE replying: envs stall while the
+                # learner is behind (Master.cpp:118-144 withheld replies)
+                if not eval_mode:
+                    for b in bundles:
+                        b.train_to_pace(self.train_steps)
+                    # periodic checkpoint (saveFreq, Learner.cpp:146)
+                    if (self.run_dir and bundles[0].n_grad // cfg.saveFreq
+                            > last_save // cfg.saveFreq):
+                        last_save = bundles[0].n_grad
+                        save_checkpoint()
+
+                # ---- act on pending requests (batched per learner) ----
+                env_act: List = [None] * n_lanes
+                for b in bundles:
+                    k_app = b.mdp.n_appended_obs
+                    obs_rows = []
+                    for lane in b.lanes:
+                        h = hist[lane] or [np.zeros(len(b.obs_idx))]
+                        frames = [h[max(len(h) - 1 - j, 0)]
+                                  for j in range(k_app + 1)]
+                        obs_rows.append(np.concatenate(frames))
+                    obs = jnp.asarray(np.stack(obs_rows), jnp.float32)
+                    obs_std = ((obs.reshape(len(b.lanes), k_app + 1, -1)
+                                - b.rs.state_mean) * b.rs.state_scale
+                               ).reshape(len(b.lanes), -1)
+                    b.key, k_act = jax.random.split(b.key)
+                    a, mu, val, adv, b.rnn = b.act_jit(
+                        b.params, obs_std, k_act, b.rnn)
+                    acts_env = np.asarray(
+                        b.mdp.learner_to_env_action(a), np.float64)
+                    a_np, mu_np = np.asarray(a), np.asarray(mu)
+                    v_np, adv_np = np.asarray(val), np.asarray(adv)
+                    for i, lane in enumerate(b.lanes):
+                        env_act[lane] = acts_env[i]
+                        if (lane % n_agents) in untracked:
+                            lanes[lane].reset()
+                            continue
+                        lanes[lane].add_action(a_np[i], mu_np[i],
+                                               v_np[i], adv_np[i])
+                pool.send_actions(env_act)
         finally:
             pool.kill()
             if rew_file:
                 rew_file.close()
             if obs_file:
                 obs_file.close()
-        self.params, self.opt_state, self.replay = params, opt_state, rs
-        self.n_grad_steps, self.n_env_steps = n_grad, n_env_steps
+        # backward-compatible single-learner accessors
+        self.params = bundles[0].params
+        self.opt_state = bundles[0].opt_state
+        self.replay = bundles[0].rs
+        self.n_grad_steps = bundles[0].n_grad
+        self.n_env_steps = n_env_steps_total if n_learners == 1 \
+            else bundles[0].n_env_steps
         if self.run_dir and not eval_mode:
-            import pickle
-            snap = {"params": jax.device_get(params),
-                    "opt_state": jax.device_get(opt_state),
-                    "replay": jax.device_get(rs),
-                    "n_grad_steps": n_grad, "n_env_steps": n_env_steps,
-                    "initialized": initialized,
-                    "start_env_steps": start_env_steps,
-                    "cfg": cfg.to_dict()}
-            tmp = os.path.join(self.run_dir, "checkpoint.pkl.tmp")
-            with open(tmp, "wb") as f:
-                pickle.dump(snap, f)
-            os.replace(tmp, os.path.join(self.run_dir, "checkpoint.pkl"))
-        return params
+            save_checkpoint()
+        return self.params

@@ -20,10 +20,10 @@ from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
-from smarties_tpu.runtime.communicator import (CONT, INIT, KILL_ACTION,
+from smarties_tpu.runtime.communicator import (CONT, FAIL, INIT, KILL_ACTION,
                                                LAST, TERM, Communicator,
                                                TrainingTerminated,
-                                               spec_to_mdp)
+                                               spec_to_mdp, spec_to_mdps)
 
 
 def _env_worker(app_main, conn, env_id: int, seed: int):
@@ -38,23 +38,42 @@ def _env_worker(app_main, conn, env_id: int, seed: int):
         conn.close()
 
 
+class EnvCrashed(RuntimeError):
+    """An env worker died and could not be (re)spawned."""
+
+
 class EnvPool:
-    def __init__(self, app_main: Callable, n_envs: int, seed: int = 0):
-        ctx = mp.get_context("fork")
+    """max_respawns: how many times a crashed env app is restarted before
+    the pool gives up (the reference only detects the crash and dies,
+    Worker.cpp:146 'app crashed. TODO: handle'; here the episode is
+    dropped via a FAIL event, Agent.h:83-86, and the app is relaunched)."""
+
+    def __init__(self, app_main: Callable, n_envs: int, seed: int = 0,
+                 max_respawns: int = 3):
+        self._ctx = mp.get_context("fork")
+        self._app_main = app_main
+        self._seed = seed
         self.n_envs = n_envs
-        self._conns, self._procs = [], []
+        self.max_respawns = max_respawns
+        self._respawns = [0] * n_envs
+        self._conns: List = [None] * n_envs
+        self._procs: List = [None] * n_envs
         for i in range(n_envs):
-            parent, child = ctx.Pipe()
-            p = ctx.Process(target=_env_worker,
-                            args=(app_main, child, i, seed + i),
-                            daemon=True)
-            p.start()
-            child.close()
-            self._conns.append(parent)
-            self._procs.append(p)
+            self._spawn(i)
         self.spec = None
         self.mdp = None
         self.n_agents = 1
+
+    def _spawn(self, i: int):
+        parent, child = self._ctx.Pipe()
+        p = self._ctx.Process(
+            target=_env_worker,
+            args=(self._app_main, child, i,
+                  self._seed + i + self.n_envs * self._respawns[i]),
+            daemon=True)
+        p.start()
+        child.close()
+        self._conns[i], self._procs[i] = parent, p
 
     def probe_spec(self):
         """Wait for the first env's problem description (the reference
@@ -64,6 +83,7 @@ class EnvPool:
         assert kind == "spec", kind
         self.spec = spec
         self.mdp = spec_to_mdp(spec)
+        self.mdps = spec_to_mdps(spec)  # one per learner (different_mdps)
         self.n_agents = spec.get("n_agents", 1)
         self._pending0 = self._conns[0].recv()  # first state already sent
         return self.mdp
@@ -72,33 +92,80 @@ class EnvPool:
     def n_lanes(self) -> int:
         return self.n_envs * self.n_agents
 
+    def _recv(self, e: int):
+        """Blocking recv from env e that detects a dead worker: returns
+        None if the process died (the reference's crash surfaces as a FAIL
+        status, Agent.h:23; detection analog of Worker.cpp:146)."""
+        conn = self._conns[e]
+        while True:
+            try:
+                if conn.poll(0.05):
+                    return conn.recv()
+            except (EOFError, OSError):
+                return None
+            if not self._procs[e].is_alive():
+                # drain anything the child flushed before dying
+                try:
+                    if conn.poll(0):
+                        return conn.recv()
+                except (EOFError, OSError):
+                    pass
+                return None
+
+    def _handle_death(self, e: int):
+        """Respawn a crashed env app (or give up after max_respawns)."""
+        try:
+            self._conns[e].close()
+        except OSError:
+            pass
+        if self._respawns[e] >= self.max_respawns:
+            raise EnvCrashed(
+                f"env {e} crashed {self._respawns[e] + 1} times; giving up")
+        self._respawns[e] += 1
+        self._spawn(e)
+        # fresh app re-sends its spec before the first state
+        kind, _ = self._conns[e].recv()
+        assert kind == "spec", kind
+
     def gather_states(self):
         """Collect, per lane, messages until each lane has a pending
         action request (INIT/CONT) — TERM/LAST messages are returned as
-        completed-step records without action requests.
+        completed-step records without action requests. A crashed worker
+        yields FAIL events for its lanes (episode dropped by the caller,
+        Agent.h:83-86) and is respawned.
 
-        Returns (need_action [n_lanes] bool, states [n_lanes, dimS],
-                 rewards [n_lanes], statuses [n_lanes]).
+        Returns (events, states [n_lanes, dimS], rewards [n_lanes],
+                 statuses [n_lanes]).
         """
         n = self.n_lanes
-        states = np.zeros((n, self.mdp.dim_state), np.float64)
+        # rows sized to the largest per-agent state (per-agent MDPs may
+        # declare different dims); shorter states are zero-padded
+        dim_s = max(m.dim_state for m in getattr(self, "mdps", [self.mdp]))
+        states = np.zeros((n, dim_s), np.float64)
         rewards = np.zeros(n)
         statuses = np.full(n, -1, np.int64)
         events = []   # ordered (lane, status, state, reward) records
-        for e, conn in enumerate(self._conns):
+        for e in range(self.n_envs):
             waiting = True
             while waiting:
                 if e == 0 and getattr(self, "_pending0", None) is not None:
                     msg = self._pending0
                     self._pending0 = None
                 else:
-                    msg = conn.recv()
+                    msg = self._recv(e)
+                if msg is None:   # worker died mid-episode
+                    zero = np.zeros(self.mdp.dim_state)
+                    for a in range(self.n_agents):
+                        events.append((e * self.n_agents + a, FAIL,
+                                       zero, 0.0))
+                    self._handle_death(e)
+                    continue      # fresh app proceeds to its INIT state
                 if msg[0] == "spec":
                     continue
                 _, agent_id, status, state, reward = msg
                 lane = e * self.n_agents + agent_id
                 events.append((lane, status, state, reward))
-                states[lane] = state
+                states[lane, :len(state)] = state
                 rewards[lane] = reward
                 statuses[lane] = status
                 # INIT/CONT block the app in recvAction -> need a reply
@@ -111,7 +178,10 @@ class EnvPool:
         for e, conn in enumerate(self._conns):
             for a in range(self.n_agents):
                 lane = e * self.n_agents + a
-                conn.send(env_actions[lane])
+                try:
+                    conn.send(env_actions[lane])
+                except (BrokenPipeError, OSError):
+                    pass  # death is detected on the next gather round
 
     def kill(self):
         for conn in self._conns:

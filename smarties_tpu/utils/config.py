@@ -102,7 +102,7 @@ class HyperParameters:
 
     def check(self) -> None:
         """Sanity checks. Reference: HyperParameters::check() (:212-226)."""
-        assert 0 < self.gamma < 1, "gamma must be in (0,1)"
+        assert 0 < self.gamma <= 1, "gamma must be in (0,1]"  # HyperParameters.cpp:218-219 allows gamma == 1
         assert self.lambda_ >= 0, "lambda must be >= 0"
         assert self.batchSize > 0
         assert self.learnrate > 0

