@@ -43,6 +43,16 @@ def main():
     p.add_argument("--logAllSamples", action="store_true",
                    help="write agent_*_obs.raw raw-observation stream "
                         "(reference --logAllSamples analog)")
+    p.add_argument("--appSettings", default="",
+                   help="comma-separated staged app arg-files "
+                        "(reference --appSettings)")
+    p.add_argument("--nStepPappSett", default="",
+                   help="comma-separated step budget per arg-file stage")
+    p.add_argument("--setupFolder", default="",
+                   help="folder copied into each per-sim run dir")
+    p.add_argument("--simDirs", action="store_true",
+                   help="run each env app launch in its own "
+                        "simulation_%%03u_%%05u directory")
     args = p.parse_args()
 
     run_dir = os.path.join(args.runprefix, args.runname)
@@ -103,6 +113,13 @@ def main():
         e.setNTrainSteps(args.nTrainSteps)
         e.setMaxEpisodeLength(args.maxEpisodeLength)
         e.run_dir = run_dir
+        if args.appSettings:
+            e.setSimulationArgumentsFilePath(args.appSettings,
+                                             args.nStepPappSett)
+        if args.setupFolder:
+            e.setSimulationSetupFolderPath(args.setupFolder)
+        if args.simDirs:
+            e.setUseSimulationDirectories(True)
         e.run(mod["app_main"])
 
 

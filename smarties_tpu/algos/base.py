@@ -92,6 +92,11 @@ class MiniBatch(NamedTuple):
     terminal_next: jnp.ndarray   # [B] t+1 is a true terminal state
     truncated_next: jnp.ndarray  # [B] t+1 is a truncation point
     per_w: jnp.ndarray       # [B] PER importance weight (1 for uniform)
+    # sample points at a stored transition; False only when a replay SHARD
+    # is empty (multi-device) — such rows contribute zero gradient and no
+    # write-backs (the reference never samples invalid data; per-shard
+    # starvation is additionally curbed by buffer.rebalance_shards)
+    valid: jnp.ndarray = None   # [B] bool
 
 
 def stacked_states(rs: rb.ReplayState, ep, t, n_appended: int):
@@ -120,11 +125,13 @@ def gather_minibatch(rs: rb.ReplayState, ep, t,
     r_next = (rs.rewards[ep, t1] - rs.rew_mean) * rs.rew_scale
     if per_w is None:
         per_w = jnp.ones(ep.shape, F32)
+    valid = (rs.ep_id[ep] >= 0) & (t < length)
     return MiniBatch(ep=ep, t=t, s_t=s_t, s_t1=s_t1,
                      action=rs.actions[ep, t], mu=rs.mus[ep, t],
                      qret=rs.qret[ep, t], reward_next=r_next,
                      is_last=is_last, terminal_next=terminal_next,
-                     truncated_next=truncated_next, per_w=per_w)
+                     truncated_next=truncated_next, per_w=per_w,
+                     valid=valid)
 
 
 def write_back(rs: rb.ReplayState, mb: MiniBatch, rho, dkl, delta,
@@ -133,18 +140,21 @@ def write_back(rs: rb.ReplayState, mb: MiniBatch, rho, dkl, delta,
 
     Also maintains the incremental per-slot far-policy counts (the
     reference's Episode::updateCumulative_atomic, Episode.h:112-129:
-    wasFarPol/isFarPol delta applied on every sampled write)."""
-    ep, t = mb.ep, mb.t
-    was_far = rb.is_far_policy(rs.rho[ep, t], rs.cmax_ret, rs.cinv_ret)
+    wasFarPol/isFarPol delta applied on every sampled write). Rows with
+    mb.valid == False (empty-shard samples) are dropped."""
+    t = mb.t
+    ep = jnp.where(mb.valid, mb.ep, rs.n_slots) if mb.valid is not None \
+        else mb.ep
+    was_far = rb.is_far_policy(rs.rho[mb.ep, t], rs.cmax_ret, rs.cinv_ret)
     is_far = rb.is_far_policy(rho, rs.cmax_ret, rs.cinv_ret)
     delta_far = is_far.astype(jnp.float32) - was_far.astype(jnp.float32)
     return rs._replace(
-        rho=rs.rho.at[ep, t].set(rho),
-        kl=rs.kl.at[ep, t].set(dkl),
-        delta=rs.delta.at[ep, t].set(delta),
-        value=rs.value.at[ep, t].set(value),
-        advantage=rs.advantage.at[ep, t].set(advantage),
-        far_count=rs.far_count.at[ep].add(delta_far),
+        rho=rs.rho.at[ep, t].set(rho, mode="drop"),
+        kl=rs.kl.at[ep, t].set(dkl, mode="drop"),
+        delta=rs.delta.at[ep, t].set(delta, mode="drop"),
+        value=rs.value.at[ep, t].set(value, mode="drop"),
+        advantage=rs.advantage.at[ep, t].set(advantage, mode="drop"),
+        far_count=rs.far_count.at[ep].add(delta_far, mode="drop"),
     )
 
 

@@ -163,13 +163,16 @@ class VRacer:
 
     # ------------------------------------------------------------------
     def train_step(self, params, opt_state: AdamState, rs: rb.ReplayState,
-                   key, axis_name=None):
+                   key, axis_name=None, sample_override=None):
         """One gradient step (RACER_train.cpp:14-67 as one XLA program).
 
         When axis_name is given, runs inside shard_map over a learner mesh
         axis: each shard samples batchSize/n_shards transitions from ITS
         replay shard, gradients are psum'd before Adam (the reference's
         MPI_Iallreduce across learners_train_comm, Optimizer.cpp:110-119).
+
+        sample_override: optional pinned (ep, t) local sample indices —
+        used by the exact cross-layout gradient-parity tests.
         """
         cfg, mdp = self.cfg, self.mdp
         n_shards = (jax.lax.psum(1, axis_name) if axis_name is not None
@@ -180,7 +183,10 @@ class VRacer:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k_samp, = jax.random.split(key, 1)
 
-        ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
+        if sample_override is not None:
+            ep, t = sample_override
+        else:
+            ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
         mb = gather_minibatch(rs, ep, t,
                               n_appended=self.mdp.n_appended_obs)
         a_t, mu_t, qret_t = mb.action, mb.mu, mb.qret
@@ -268,6 +274,8 @@ class VRacer:
         else:
             g = jnp.concatenate([g_v[:, None], g_pol], axis=-1)
 
+        # empty-shard samples contribute no gradient (MiniBatch.valid)
+        g = jnp.where(mb.valid[:, None], g, 0.0)
         grads = pullback(g)
         if axis_name is not None:
             grads = jax.lax.psum(grads, axis_name)

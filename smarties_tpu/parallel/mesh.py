@@ -123,6 +123,13 @@ def make_sharded_fns(algo, rollout_chunk_fn, rs_template, carry_template,
         return _roll_cache[n](params, carry)
 
     def refresh_fn(rs, n_grad):
+        # cross-shard episode balancing at the refresh cadence (the
+        # reference's round-robin episode sharing among workerless
+        # masters, DataCoordinator.cpp:91-112)
+        from smarties_tpu.replay.buffer import rebalance_shards
+        rs = rebalance_shards(rs, AXIS, k_max=8,
+                              max_tot_obs=algo.cfg.maxTotObsNum,
+                              filter_algo=algo.cfg.ERoldSeqFilter)
         return algo.refresh(rs, n_grad, axis_name=AXIS)
 
     refresh = jax.jit(shard_map(refresh_fn, mesh=mesh,

@@ -105,9 +105,23 @@ class ReplayState(NamedTuple):
         return (self.states - self.state_mean) * self.state_scale
 
 
+def safe_mu(mdp) -> np.ndarray:
+    """A numerically-safe behavior-policy vector for EMPTY replay slots:
+    unit-stdev standard normal for continuous policies, uniform
+    probabilities for discrete. Sampling can touch empty slots when a
+    replay SHARD holds no episodes yet (multi-device meshes); safe mu
+    keeps the importance-weight/KL math finite there (the per-sample
+    gradient is additionally masked by MiniBatch.valid)."""
+    if mdp.is_discrete:
+        n = mdp.max_action_label
+        return np.full((n,), 1.0 / n, np.float32)
+    nA = mdp.dim_action
+    return np.concatenate([np.zeros(nA), np.ones(nA)]).astype(np.float32)
+
+
 def init_replay(n_slots: int, max_len: int, dim_state: int, dim_action: int,
                 dim_policy: int, clip_imp_weight: float = 4.0,
-                state_dtype=jnp.float32) -> ReplayState:
+                state_dtype=jnp.float32, mu_init=None) -> ReplayState:
     """Initial scalars follow MemoryBuffer.h:41-44: beta starts at 1e-4
     (near-full KL-penalty mode) when ReF-ER clipping is active, CmaxRet at
     1 + C, CinvRet at 1/C.
@@ -116,14 +130,20 @@ def init_replay(n_slots: int, max_len: int, dim_state: int, dim_action: int,
     observations (Atari-scale buffers; the reference stores Fval=f32 but
     has no per-episode padding; byte storage keeps the padded slot layout
     within HBM). Standardization promotes to f32 at gather time.
+
+    mu_init: [dim_policy] fill value for behavior policies of empty slots
+    (see safe_mu) — keeps policy math finite if an empty slot is sampled.
     """
     E, L1 = n_slots, max_len + 1
     C = clip_imp_weight
     z = lambda *s: jnp.zeros(s, F32)
+    mus0 = (jnp.broadcast_to(jnp.asarray(mu_init, F32),
+                             (E, L1, dim_policy))
+            if mu_init is not None else z(E, L1, dim_policy))
     return ReplayState(
         states=jnp.zeros((E, L1, dim_state), state_dtype),
         actions=z(E, L1, dim_action),
-        mus=z(E, L1, dim_policy), rewards=z(E, L1),
+        mus=mus0, rewards=z(E, L1),
         length=jnp.zeros((E,), I32), terminal=jnp.zeros((E,), bool),
         ep_id=-jnp.ones((E,), I32),
         value=z(E, L1), advantage=z(E, L1), qret=z(E, L1),
@@ -523,6 +543,62 @@ def refresh_new_returns(rs: ReplayState, gamma: float, lam: float,
     sel = (rs.qret_stale & rs.valid_slots())[:, None]
     return rs._replace(qret=jnp.where(sel, qret, rs.qret),
                        qret_stale=jnp.zeros_like(rs.qret_stale))
+
+
+def rebalance_shards(rs: ReplayState, axis_name: str, k_max: int = 8,
+                     max_tot_obs: int = 2 ** 30,
+                     filter_algo: str = "oldest") -> ReplayState:
+    """Cross-shard episode balancing: shards holding more episodes than
+    the mesh average ship up to k_max episodes to their ring neighbor.
+
+    TPU-native analog of the reference's round-robin episode sharing among
+    workerless masters (DataCoordinator.cpp:91-112): called inside the
+    shard_map'd refresh program (every-1000-steps cadence), so repeated
+    one-hop ring pushes even the loads out like the reference's
+    episode-by-episode round robin. Prevents starved (empty) shards from
+    skewing per-shard uniform sampling.
+    """
+    n_shards = jax.lax.psum(1, axis_name)
+    n_eps = rs.n_stored_eps()
+    mean_eps = jax.lax.pmean(n_eps.astype(F32), axis_name)
+    n_ship = jnp.clip((n_eps.astype(F32) - mean_eps).astype(I32), 0, k_max)
+
+    # pick the n_ship lowest keep-priority valid episodes (they would be
+    # pruned first anyway; "oldest" under the default filter)
+    prio = _keep_priority(rs, filter_algo)
+    order = jnp.argsort(prio)                       # worst first
+    take = jnp.arange(k_max)
+    slots = order[jnp.clip(take, 0, rs.n_slots - 1)]
+    ship = (take < n_ship) & (rs.ep_id[slots] >= 0)
+
+    def pick(a):
+        return a[slots]
+
+    payload = dict(
+        states=pick(rs.states), actions=pick(rs.actions),
+        mus=pick(rs.mus), rewards=pick(rs.rewards), value=pick(rs.value),
+        advantage=pick(rs.advantage), qret=pick(rs.qret),
+        rho=pick(rs.rho), length=pick(rs.length),
+        terminal=pick(rs.terminal), ship=ship)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    payload = jax.tree_util.tree_map(
+        lambda x: jax.lax.ppermute(x, axis_name, perm), payload)
+
+    # sender side: invalidate shipped slots
+    drop = jnp.zeros((rs.n_slots,), bool).at[slots].set(ship)
+    rs = rs._replace(ep_id=jnp.where(drop, -1, rs.ep_id),
+                     length=jnp.where(drop, 0, rs.length),
+                     far_count=jnp.where(drop, 0.0, rs.far_count))
+
+    # receiver side: insert the neighbor's episodes (commit bookkeeping
+    # counts them as seen; undo that — they are migrated, not new)
+    seen_eps0, seen_steps0 = rs.n_seen_eps, rs.n_seen_steps
+    rs = commit_episodes(
+        rs, payload["states"], payload["actions"], payload["mus"],
+        payload["rewards"], payload["value"], payload["advantage"],
+        payload["qret"], payload["rho"], payload["length"],
+        payload["terminal"], payload["ship"], max_tot_obs, filter_algo)
+    return rs._replace(n_seen_eps=seen_eps0, n_seen_steps=seen_steps0)
 
 
 def recompute_returns(rs: ReplayState, gamma: float, lam: float,

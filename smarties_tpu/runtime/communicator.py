@@ -36,6 +36,12 @@ class Communicator:
     def __init__(self, conn, env_id: int = 0):
         self._conn = conn
         self.env_id = env_id
+        # staged app arguments for this launch (Launcher::readRunArgLst,
+        # Core/Launcher.cpp:190-236): tokens of the active appSettings file
+        self.app_arguments: List[str] = []
+        # child-local total env-step counter driving the arg-file schedule
+        # (globalTstepCounter vs argFilesStepsLimits, Launcher.cpp:95-102)
+        self.global_tstep = 0
         self._spec = {
             "dim_state": None, "dim_action": None,
             "bounded": None, "upper": None, "lower": None,
@@ -142,6 +148,8 @@ class Communicator:
             self._conn.send(("spec", self._spec))
             self._spec_sent = True
         state = np.asarray(state, np.float64)
+        if status != INIT:
+            self.global_tstep += 1
         self._conn.send(("state", agent_id, status, state, float(reward)))
 
     def sendInitState(self, state, agent_id: int = 0):

@@ -131,7 +131,8 @@ class _LearnerBundle:
         n_slots = max(64, 2 * cfg.maxTotObsNum // max(8, max_ep_len // 8))
         self.rs = rb.init_replay(n_slots, max_ep_len,
                                  mdp.dim_state_observed, mdp.dim_action,
-                                 mdp.dim_policy, cfg.clipImpWeight)
+                                 mdp.dim_policy, cfg.clipImpWeight,
+                                 mu_init=rb.safe_mu(mdp))
         self.act_jit = jax.jit(self.algo.make_act_fn(train=cfg.bTrain))
         # per-agent persistent recurrent context for acting
         # (AgentContext analog); () for feed-forward nets
@@ -314,6 +315,41 @@ class Engine:
     def setMaxEpisodeLength(self, n: int):
         self.max_ep_len = n
 
+    def setNumEvaluationEpisodes(self, n: int):
+        self.n_eval_episodes = n
+
+    def setSimulationArgumentsFilePath(self, app_settings: str,
+                                       n_step_per_file: str = ""):
+        """Comma-separated staged app arg-files + per-stage step budgets
+        (Engine::setSimulationArgumentsFilePath, Engine.cpp:63;
+        Launcher::initArgumentFileNames, Launcher.cpp:122-151). Stage k
+        activates once the env's own step counter passes the cumulative
+        budget; the last stage runs forever."""
+        files = [f for f in app_settings.split(",") if f]
+        steps = [int(s) for s in n_step_per_file.split(",") if s] \
+            if n_step_per_file else [0] * len(files)
+        assert len(steps) == len(files), \
+            "appSettings and nStepPappSett length mismatch"
+        limits = [0]
+        for s in steps[:-1]:
+            limits.append(limits[-1] + s)
+        self._launch_opts = dict(getattr(self, "_launch_opts", {}) or {},
+                                 app_settings=files,
+                                 arg_step_limits=limits)
+
+    def setSimulationSetupFolderPath(self, folder: str):
+        """Folder whose contents are copied into every per-sim run dir
+        (Engine.cpp:67, Launcher::createGoRunDir setupFolder copy)."""
+        self._launch_opts = dict(getattr(self, "_launch_opts", {}) or {},
+                                 setup_folder=folder, sim_dirs=True)
+
+    def setUseSimulationDirectories(self, enable: bool = True):
+        """Each launch of every env app runs in its own
+        simulation_%03u_%05u directory under run_dir
+        (Launcher::createGoRunDir, Launcher.cpp:154-186)."""
+        self._launch_opts = dict(getattr(self, "_launch_opts", {}) or {},
+                                 sim_dirs=bool(enable))
+
     # ---------------- main loop (Engine::run, Master/Worker) ------------
     def run(self, app_main: Callable, max_wall_s: float = float("inf"),
             pool=None):
@@ -322,7 +358,11 @@ class Engine:
         C++/Fortran apps) and app_main is ignored."""
         cfg = self.cfg
         if pool is None:
-            pool = EnvPool(app_main, self.n_envs, seed=cfg.randSeed)
+            opts = dict(getattr(self, "_launch_opts", {}) or {})
+            if opts and "run_dir" not in opts:
+                opts["run_dir"] = self.run_dir or "."
+            pool = EnvPool(app_main, self.n_envs, seed=cfg.randSeed,
+                           launch_opts=opts or None)
         mdp = pool.probe_spec()
         self.mdp = mdp
         n_agents = pool.n_agents

@@ -26,12 +26,74 @@ from smarties_tpu.runtime.communicator import (CONT, FAIL, INIT, KILL_ACTION,
                                                spec_to_mdp, spec_to_mdps)
 
 
-def _env_worker(app_main, conn, env_id: int, seed: int):
+def _stage_args(comm, launch_opts: dict):
+    """Pick the active appSettings file by the child-local env-step
+    counter and load its tokens (Launcher::initArgumentFileNames +
+    readRunArgLst, Core/Launcher.cpp:122-151,190-236; '...'-quoted groups
+    become one token like the reference's apostrophe handling)."""
+    files = launch_opts.get("app_settings") or []
+    if not files:
+        comm.app_arguments = []
+        return
+    limits = launch_opts.get("arg_step_limits") or [0] * len(files)
+    ind = 0
+    for i, lim in enumerate(limits):
+        if comm.global_tstep >= lim:
+            ind = i
+    import shlex
+    path = files[ind]
+    base = launch_opts.get("run_dir") or "."
+    if not os.path.isabs(path):
+        path = os.path.join(base, path)
+    with open(path) as f:
+        comm.app_arguments = shlex.split(f.read().replace("'", '"'))
+
+
+def _enter_sim_dir(env_id: int, launch_counter: int, launch_opts: dict):
+    """Per-launch working directory simulation_%03u_%05u with optional
+    setup-folder copy (Launcher::createGoRunDir, Core/Launcher.cpp:154-186)."""
+    base = launch_opts.get("run_dir") or "."
+    while True:
+        d = os.path.join(base, f"simulation_{env_id:03d}_"
+                               f"{launch_counter:05d}")
+        if not os.path.exists(d):
+            break
+        launch_counter += 1
+    os.makedirs(d, exist_ok=True)
+    setup = launch_opts.get("setup_folder")
+    if setup:
+        import shutil
+        for name in os.listdir(setup):
+            src = os.path.join(setup, name)
+            dst = os.path.join(d, name)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst, dirs_exist_ok=True)
+            else:
+                shutil.copy2(src, dst)
+    os.chdir(d)
+    return launch_counter
+
+
+def _env_worker(app_main, conn, env_id: int, seed: int,
+                launch_opts: Optional[dict] = None):
     np.random.seed(seed)
     comm = Communicator(conn, env_id)
+    launch_opts = launch_opts or {}
+    sim_dirs = launch_opts.get("sim_dirs", False)
+    home = os.getcwd()
+    launch_counter = 0
     try:
         while True:
-            app_main(comm)
+            if launch_opts.get("app_settings"):
+                _stage_args(comm, launch_opts)
+            if sim_dirs:
+                launch_counter = _enter_sim_dir(env_id, launch_counter,
+                                                launch_opts) + 1
+            try:
+                app_main(comm)
+            finally:
+                if sim_dirs:
+                    os.chdir(home)
     except (TrainingTerminated, EOFError, KeyboardInterrupt):
         pass
     finally:
@@ -49,10 +111,16 @@ class EnvPool:
     dropped via a FAIL event, Agent.h:83-86, and the app is relaunched)."""
 
     def __init__(self, app_main: Callable, n_envs: int, seed: int = 0,
-                 max_respawns: int = 3):
+                 max_respawns: int = 3,
+                 launch_opts: Optional[dict] = None):
+        """launch_opts (Launcher.cpp:122-236 features): dict with
+        sim_dirs (bool), run_dir (str), setup_folder (str),
+        app_settings (list of arg-file paths),
+        arg_step_limits (list of child env-step thresholds)."""
         self._ctx = mp.get_context("fork")
         self._app_main = app_main
         self._seed = seed
+        self._launch_opts = launch_opts
         self.n_envs = n_envs
         self.max_respawns = max_respawns
         self._respawns = [0] * n_envs
@@ -69,7 +137,8 @@ class EnvPool:
         p = self._ctx.Process(
             target=_env_worker,
             args=(self._app_main, child, i,
-                  self._seed + i + self.n_envs * self._respawns[i]),
+                  self._seed + i + self.n_envs * self._respawns[i],
+                  self._launch_opts),
             daemon=True)
         p.start()
         child.close()

@@ -82,7 +82,8 @@ class MultiTrainer:
             m = self.mdps[a]
             replays.append(rb.init_replay(
                 n_slots, max_len, m.dim_state_observed, m.dim_action,
-                m.dim_policy, self.cfgs[a].clipImpWeight))
+                m.dim_policy, self.cfgs[a].clipImpWeight,
+                mu_init=rb.safe_mu(m)))
             inprogs.append(init_inprogress(
                 n_envs, max_len, m.dim_state_observed, m.dim_action,
                 m.dim_policy))

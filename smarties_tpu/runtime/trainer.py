@@ -78,7 +78,8 @@ class Trainer:
         sdt = state_dtype or _jnp.float32
         self.rs = rb.init_replay(
             n_slots, max_len, mdp.dim_state_observed, mdp.dim_action,
-            mdp.dim_policy, cfg.clipImpWeight, state_dtype=sdt)
+            mdp.dim_policy, cfg.clipImpWeight, state_dtype=sdt,
+            mu_init=rb.safe_mu(mdp))
         ip = init_inprogress(n_envs, max_len, mdp.dim_state_observed,
                              mdp.dim_action, mdp.dim_policy,
                              state_dtype=sdt)
@@ -198,8 +199,20 @@ class Trainer:
         for logs in pending:
             self._log_episodes(logs)
 
+    @staticmethod
+    def _host_local(x, axis=1):
+        """np view of a possibly multi-process-sharded log array: the
+        local shards concatenated along the env-lane axis. Under
+        jax.distributed each host logs ITS OWN env lanes (the reference
+        writes per-rank cumulative_rewards files, MemoryBuffer.cpp:491)."""
+        if getattr(x, "is_fully_addressable", True):
+            return np.asarray(x)
+        shards = sorted(x.addressable_shards, key=lambda s: s.index[axis].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards],
+                              axis=axis)
+
     def _log_episodes(self, logs):
-        done, length, ret = logs[:3]
+        done, length, ret = (self._host_local(x) for x in logs[:3])
         if self._obs_file is not None and len(logs) > 3:
             self._write_obs_rows(logs[3:])
         done = np.asarray(done)

@@ -141,6 +141,56 @@ def crashing_app(comm):
                 comm.sendState(np.array([x]), -abs(x))
 
 
+def simdir_app(comm):
+    """App that records its CWD + staged args (one short episode)."""
+    comm.setStateActionDims(1, 1)
+    comm.setActionScales([1.0], [-1.0], True)
+    with open("app_was_here.txt", "a") as f:
+        f.write(" ".join(comm.app_arguments) + "\n")
+    comm.sendInitState(np.zeros(1))
+    for t in range(5):
+        comm.recvAction()
+        (comm.sendLastState if t == 4 else comm.sendState)(np.zeros(1),
+                                                           1.0)
+
+
+class TestSimDirsAndArgStages:
+    def test_per_sim_dirs_and_staged_args(self, tmp_path):
+        """Per-launch simulation_%03u_%05u dirs + setup-folder copy +
+        staged app arg-files switching on the child's env-step counter
+        (Core/Launcher.cpp:122-236)."""
+        d = str(tmp_path)
+        setup = os.path.join(d, "setup")
+        os.makedirs(setup)
+        open(os.path.join(setup, "data.cfg"), "w").write("cfg")
+        for i, txt in enumerate(["--stage one", "--stage 'two words'"]):
+            open(os.path.join(d, f"args{i}.txt"), "w").write(txt)
+
+        e = smarties_tpu.Engine([])
+        e.setNEnvironments(1)
+        e.setSettings(cfg(minTotObsNum=16, maxTotObsNum=256, batchSize=8))
+        e.setNTrainSteps(8)
+        e.setMaxEpisodeLength(16)
+        e.run_dir = d
+        e.setSimulationArgumentsFilePath(
+            os.path.join(d, "args0.txt") + ","
+            + os.path.join(d, "args1.txt"), "10,0")
+        e.setSimulationSetupFolderPath(setup)
+        e.run(simdir_app, max_wall_s=120)
+
+        sims = sorted(f for f in os.listdir(d)
+                      if f.startswith("simulation_000_"))
+        assert len(sims) >= 3, sims
+        # setup folder copied into each sim dir + app ran there
+        for s in sims[:3]:
+            assert os.path.exists(os.path.join(d, s, "data.cfg"))
+        # stage 0 args for the first launches (<10 steps), stage 1 later
+        first = open(os.path.join(d, sims[0], "app_was_here.txt")).read()
+        assert "--stage one" in first
+        last = open(os.path.join(d, sims[-1], "app_was_here.txt")).read()
+        assert "two words" in last    # quoted group == one token rejoined
+
+
 class TestFailHandling:
     def test_crash_drops_episode_and_respawns(self):
         if os.path.exists(_CRASH_SENTINEL):
