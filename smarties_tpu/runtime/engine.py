@@ -441,6 +441,13 @@ class Engine:
                         hist[lane] = []
                         b.reset_rnn_lane(lane)
                         continue
+                    # per-message NaN guard (Agent::checkNanOrInf,
+                    # Agent.h:301-313; Communicator.cpp:267-270)
+                    if not (np.isfinite(state).all()
+                            and np.isfinite(reward)):
+                        raise FloatingPointError(
+                            f"env lane {lane} sent non-finite "
+                            f"state/reward (status {status})")
                     obs = state[b.obs_idx]
                     if status == INIT:
                         hist[lane] = [obs]
@@ -507,6 +514,10 @@ class Engine:
                         b.params, obs_std, k_act, b.rnn)
                     acts_env = np.asarray(
                         b.mdp.learner_to_env_action(a), np.float64)
+                    if not np.isfinite(acts_env).all():
+                        raise FloatingPointError(
+                            "learning algorithm picked a nan or inf "
+                            "action (Worker.cpp:151-154)")
                     a_np, mu_np = np.asarray(a), np.asarray(mu)
                     v_np, adv_np = np.asarray(val), np.asarray(adv)
                     for i, lane in enumerate(b.lanes):

@@ -327,6 +327,8 @@ class Trainer:
             if len(self._pending_logs) >= 32:
                 self._flush_logs()
             self._last_metrics = metrics
+            if self.cfg.debugNaN:
+                self._check_nan()
             if self.n_grad_steps // 1000 > self._last_refresh // 1000:
                 self._last_refresh = self.n_grad_steps
                 self.carry = self.carry._replace(
@@ -373,6 +375,10 @@ class Trainer:
                 self.carry = self.carry._replace(replay=rs)
                 self.n_grad_steps += n_tr
                 self._last_metrics = metrics
+                if self.cfg.debugNaN:
+                    self._check_nan()
+            if self.cfg.debugNaN:
+                self._check_nan()
                 if self.n_grad_steps // 1000 > self._last_refresh // 1000:
                     self._last_refresh = self.n_grad_steps
                     with self.profiler("REFRESH"):
@@ -437,6 +443,10 @@ class Trainer:
                 self.n_grad_steps += n_tr
                 done_in_cycle += n_tr
                 self._last_metrics = metrics
+                if self.cfg.debugNaN:
+                    self._check_nan()
+            if self.cfg.debugNaN:
+                self._check_nan()
                 # once per data pass: reward/state stats (PPO.cpp:100-104)
                 self.carry = self.carry._replace(
                     replay=self._refresh(self.carry.replay,
@@ -449,8 +459,25 @@ class Trainer:
                 replay=clear_all(self.carry.replay))
 
     # ------------------------------------------------------------------
+    def _check_nan(self):
+        """Training-path NaN guard: raise on non-finite training metrics
+        (host analog of the reference's per-message NaN checks,
+        Agent.h:301-313; run per-chunk when cfg.debugNaN, and always at
+        the logging cadence)."""
+        m = getattr(self, "_last_metrics", {})
+        for k in ("rmse", "grad_norm", "beta"):
+            if k in m:
+                v = np.asarray(m[k])
+                if not np.isfinite(v).all():
+                    raise FloatingPointError(
+                        f"non-finite training metric '{k}' at grad step "
+                        f"{self.n_grad_steps} — training diverged "
+                        f"(reference analog: Agent::checkNanOrInf)")
+
+    # ------------------------------------------------------------------
     def log_status(self, full: bool = False):
         self._flush_logs()
+        self._check_nan()
         rs = self.replay
         avg_r = (np.mean(self._ep_returns[-100:])
                  if self._ep_returns else float("nan"))

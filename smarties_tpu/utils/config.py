@@ -57,6 +57,11 @@ class HyperParameters:
 
     # --- run control ---
     saveFreq: int = 200000
+    # NaN-guard debug mode: check training metrics for non-finite values
+    # after every train chunk (the reference checks every state/action
+    # message host-side, Agent.h:301-313, Communicator.cpp:267-270, and
+    # traps FP errors in `config=nans` builds, make.gcc.flags:17-23)
+    debugNaN: bool = False
 
     # --- runtime / topology (reference: CLI flags, ExecutionInfo.cpp:95-170;
     #     here plain config since process topology is replaced by device mesh)

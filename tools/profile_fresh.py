@@ -198,6 +198,25 @@ def main():
         jax.block_until_ready(k)
         time_chunk(tr)
         clean(1e-8)
+    elif mode == "transfer_out":
+        # transfer ONLY a rollout log output (not a buffer reused as a
+        # future program input) — is that safe?
+        tr = build()
+        tr.carry, logs = tr._rollout(tr.params, tr.carry, 16)
+        import numpy as _np
+        x = _np.asarray(logs[1])
+        print("log transferred:", int(x.sum()), flush=True)
+        time_chunk(tr)
+        clean(1e-8)
+    elif mode == "recover":
+        tr = build()
+        tr.carry, _ = tr._rollout(tr.params, tr.carry, 16)
+        print("stored:", int(tr.carry.replay.n_stored_steps()), flush=True)
+        time_chunk(tr)
+        print("sleeping 240 s ...", flush=True)
+        time.sleep(240)
+        time_chunk(tr)
+        clean(1e-8)
     elif mode == "pallas":
         clean(0.0)
         from smarties_tpu.replay import buffer as rb
