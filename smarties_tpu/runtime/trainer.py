@@ -131,8 +131,14 @@ class Trainer:
             # tunnel). The at-ingest sweep uses the associative-scan path
             # (prefer_pallas=False): Mosaic kernels cannot co-compile with
             # lax.scan through the remote-compile tunnel.
-            def fused_cycle(params, opt_state, carry, key, n_roll,
-                            n_train):
+            # The train keys derive from carry.key INSIDE the program:
+            # the steady-state loop must issue ZERO eager ops and ZERO
+            # device->host transfers — on the axon backend a single
+            # transfer after a rollout permanently degrades every later
+            # program execution to a ~250 us/iteration floor (measured in
+            # tools/profile_fresh.py; clean steady state is ~5-10 us per
+            # grad step).
+            def fused_cycle(params, opt_state, carry, n_roll, n_train):
                 carry, logs = chunk_fn(params, carry, n_roll)
                 rs2 = rb.refresh_new_returns(
                     carry.replay, cfg.gamma, cfg.lambda_,
@@ -143,14 +149,15 @@ class Trainer:
                     p, o, r, m = self.algo.train_step(p, o, r, k)
                     return (p, o, r), m
 
-                keys = jax.random.split(key, n_train)
+                keys = jax.random.split(
+                    jax.random.fold_in(carry.key, 7), n_train)
                 (params, opt_state, rs2), ms = jax.lax.scan(
                     body, (params, opt_state, rs2), keys)
                 return params, opt_state, carry._replace(replay=rs2), ms, \
                     logs
 
             self._fused_cycle = jax.jit(fused_cycle,
-                                        static_argnums=(4, 5))
+                                        static_argnums=(3, 4))
         else:
             from smarties_tpu.parallel.mesh import (make_sharded_fns,
                                                     shard_carry)
@@ -189,15 +196,19 @@ class Trainer:
                 replay=self._fix_returns(self.carry.replay))
         self.n_env_steps += n_steps * self.n_envs
         # defer the device->host transfer: materializing logs forces a
-        # sync per chunk; flush lazily at logging time
-        self._pending_logs.append(logs)
-        if len(self._pending_logs) >= 32:
+        # sync per chunk; flush lazily at logging time. Counters are
+        # captured at append time so deferred rows keep the grad/env-step
+        # columns of when the episodes completed (MemoryBuffer.cpp:491).
+        self._pending_logs.append((logs, self.n_grad_steps,
+                                   self.n_env_steps))
+        if len(self._pending_logs) >= getattr(self, "log_flush_threshold",
+                                              32):
             self._flush_logs()
 
     def _flush_logs(self):
         pending, self._pending_logs = self._pending_logs, []
-        for logs in pending:
-            self._log_episodes(logs)
+        for logs, g, e in pending:
+            self._log_episodes(logs, g, e)
 
     @staticmethod
     def _host_local(x, axis=1):
@@ -211,7 +222,9 @@ class Trainer:
         return np.concatenate([np.asarray(s.data) for s in shards],
                               axis=axis)
 
-    def _log_episodes(self, logs):
+    def _log_episodes(self, logs, g=None, e=None):
+        g = self.n_grad_steps if g is None else g
+        e = self.n_env_steps if e is None else e
         done, length, ret = (self._host_local(x) for x in logs[:3])
         if self._obs_file is not None and len(logs) > 3:
             self._write_obs_rows(logs[3:])
@@ -226,8 +239,7 @@ class Trainer:
             if self._rew_file:
                 # [grad-step, env-step, agentID, ep-length, return]
                 # byte-format of MemoryBuffer.cpp:491-513
-                self._rew_file.write(
-                    f"{self.n_grad_steps} {self.n_env_steps} {a} {l} {r}\n")
+                self._rew_file.write(f"{g} {e} {a} {l} {r}\n")
         if len(self._ep_returns) > 1000:
             self._ep_returns = self._ep_returns[-1000:]
 
@@ -254,7 +266,8 @@ class Trainer:
         self._obs_file.write(np.concatenate(out).tobytes())
 
     # ------------------------------------------------------------------
-    def warmup(self, chunk: int = 64, adaptive: bool = True):
+    def warmup(self, chunk: int = 64, adaptive: bool = True,
+               blind_sweeps: Optional[int] = None):
         """Gather minTotObsNum observations before training
         (stepInit task, RACER.cpp:69-77).
 
@@ -262,7 +275,23 @@ class Trainer:
         envs do not overshoot the start threshold by a whole chunk (the
         reference serves envs one step at a time, so its overshoot is only
         the in-flight episodes). Each distinct chunk length is a separate
-        XLA compilation — pass adaptive=False to compile only one."""
+        XLA compilation — pass adaptive=False to compile only one.
+
+        blind_sweeps: run exactly this many env sweeps WITHOUT reading the
+        stored-obs counter back — zero device->host transfers (on axon a
+        transfer after a rollout permanently degrades later executions;
+        see _fused_cycle note). Caller guarantees the sweep budget covers
+        minTotObsNum; any overshoot matches the reference's in-flight
+        transient."""
+        if blind_sweeps is not None:
+            done = 0
+            while done < blind_sweeps:
+                self._roll(chunk)   # fixed size: one compiled variant
+                done += chunk
+            self.carry = self.carry._replace(
+                replay=self._init_stats(self.carry.replay))
+            self._initialized = True
+            return
         while int(self.replay.n_stored_steps()) < self.n_obs_b4_start:
             in_flight = int(jnp.sum(self.carry.inprog.t))
             remaining = (self.n_obs_b4_start
@@ -297,7 +326,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train_fused(self, n_grad_steps: int, log_every: int = 1000,
-                    max_wall_s: float = float("inf")):
+                    max_wall_s: float = float("inf"), flush: bool = True):
         """Steady-state training with the fused cycle program: each cycle
         rolls 1 env sweep (n_envs observations) and runs the matching
         n_envs/obsPerStep grad steps, keeping the obsPerStep invariant
@@ -316,15 +345,16 @@ class Trainer:
         # NOTE: any warmup overshoot persists as a constant bounded offset
         # in the pacing ledger (cycles are exactly balanced); the reference
         # has the same transient from in-flight episodes at startup.
+        flush_at = getattr(self, "log_flush_threshold", 32)
         while self.n_grad_steps < target and time.time() - t0 < max_wall_s:
-            self.key, k = jax.random.split(self.key)
             (self.params, self.opt_state, self.carry, metrics,
              logs) = self._fused_cycle(self.params, self.opt_state,
-                                       self.carry, k, 1, n_train)
+                                       self.carry, 1, n_train)
             self.n_env_steps += self.n_envs
             self.n_grad_steps += n_train
-            self._pending_logs.append(logs)
-            if len(self._pending_logs) >= 32:
+            self._pending_logs.append((logs, self.n_grad_steps,
+                                       self.n_env_steps))
+            if len(self._pending_logs) >= flush_at:
                 self._flush_logs()
             self._last_metrics = metrics
             if self.cfg.debugNaN:
@@ -337,7 +367,8 @@ class Trainer:
             if (self.n_grad_steps - self._last_log) >= log_every:
                 self._last_log = self.n_grad_steps
                 self.log_status()
-        self._flush_logs()
+        if flush:
+            self._flush_logs()
 
     # ------------------------------------------------------------------
     def train(self, n_grad_steps: int, log_every: int = 1000,
@@ -377,14 +408,12 @@ class Trainer:
                 self._last_metrics = metrics
                 if self.cfg.debugNaN:
                     self._check_nan()
-            if self.cfg.debugNaN:
-                self._check_nan()
-                if self.n_grad_steps // 1000 > self._last_refresh // 1000:
-                    self._last_refresh = self.n_grad_steps
-                    with self.profiler("REFRESH"):
-                        self.carry = self.carry._replace(
-                            replay=self._refresh(self.carry.replay,
-                                                 float(self.n_grad_steps)))
+            if self.n_grad_steps // 1000 > self._last_refresh // 1000:
+                self._last_refresh = self.n_grad_steps
+                with self.profiler("REFRESH"):
+                    self.carry = self.carry._replace(
+                        replay=self._refresh(self.carry.replay,
+                                             float(self.n_grad_steps)))
             if not self.block_data():
                 # fixed-size rollout chunk (one compiled variant): enough
                 # sweeps to allow ~Q more grad steps
@@ -445,15 +474,13 @@ class Trainer:
                 self._last_metrics = metrics
                 if self.cfg.debugNaN:
                     self._check_nan()
-            if self.cfg.debugNaN:
-                self._check_nan()
-                # once per data pass: reward/state stats (PPO.cpp:100-104)
-                self.carry = self.carry._replace(
-                    replay=self._refresh(self.carry.replay,
-                                         float(self.n_grad_steps)))
-                if (self.n_grad_steps - self._last_log) >= log_every:
-                    self._last_log = self.n_grad_steps
-                    self.log_status()
+            # once per data pass: reward/state stats (PPO.cpp:100-104)
+            self.carry = self.carry._replace(
+                replay=self._refresh(self.carry.replay,
+                                     float(self.n_grad_steps)))
+            if (self.n_grad_steps - self._last_log) >= log_every:
+                self._last_log = self.n_grad_steps
+                self.log_status()
             # ---- epoch over: discard data (PPO.cpp:105-112) ----
             self.carry = self.carry._replace(
                 replay=clear_all(self.carry.replay))

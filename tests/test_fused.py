@@ -31,6 +31,30 @@ class TestFusedCycle:
         # the pacing inequality itself always holds
         assert n_loc >= tr.n_grad_steps * tr.cfg.obsPerStep - tr.n_envs
 
+    def test_blind_warmup_and_deferred_flush(self):
+        """Transfer-free bench path: warmup(blind_sweeps=) must fill the
+        buffer without reading device counters back, and
+        train_fused(flush=False) must leave episode logs pending on
+        device (bench.py isolation: a d2h transfer after a rollout
+        degrades the axon backend permanently)."""
+        cfg = HyperParameters(minTotObsNum=512, maxTotObsNum=2048,
+                              batchSize=32, nnLayerSizes=[32],
+                              obsPerStep=1.0)
+        tr = Trainer(cartpole, cartpole.MDP, cfg, n_envs=16, n_slots=64,
+                     max_len=128)
+        tr.log_flush_threshold = 10 ** 9
+        tr.warmup(chunk=16, blind_sweeps=512 // 16)
+        assert tr._initialized
+        # 512 env steps ran; committed = completed episodes only (the
+        # in-flight remainder matches the reference's startup transient)
+        stored = int(tr.replay.n_stored_steps())
+        assert 0 < stored <= 512, stored
+        tr.train_fused(64, log_every=10 ** 9, flush=False)
+        assert len(tr._pending_logs) > 0   # logs still on device
+        tr._flush_logs()                   # explicit transfer at the end
+        assert not tr._pending_logs
+        assert tr.n_grad_steps >= 64
+
     @pytest.mark.slow
     def test_fused_learns(self):
         cfg = HyperParameters(minTotObsNum=2048, maxTotObsNum=16384,

@@ -217,6 +217,116 @@ def main():
         time.sleep(240)
         time_chunk(tr)
         clean(1e-8)
+    elif mode == "train_transfer":
+        # transfer after a TRAIN chunk only (no rollout ever ran)
+        from smarties_tpu.algos.vracer import VRacer
+        from smarties_tpu.envs import cartpole
+        from smarties_tpu.replay import buffer as rb
+        from smarties_tpu.utils.config import HyperParameters
+        cfg = HyperParameters(minTotObsNum=16384, maxTotObsNum=262144,
+                              batchSize=256, nnLayerSizes=[128, 128])
+        algo = VRacer(cartpole.MDP, cfg)
+        params, opt = algo.init(jax.random.PRNGKey(0))
+        rs = rb.init_replay(4096, 500, 5, 1, 2, cfg.clipImpWeight,
+                            mu_init=rb.safe_mu(cartpole.MDP))
+        L1 = 501
+        rs = rs._replace(
+            ep_id=jnp.arange(4096, dtype=jnp.int32),
+            length=jnp.full((4096,), 200, jnp.int32),
+            states=jax.random.normal(jax.random.PRNGKey(1),
+                                     (4096, L1, 5)) * 0.1,
+            rho=jnp.ones((4096, L1)))
+
+        def f(p, o, r, k):
+            def body(c, kk):
+                pp, oo, rr = c
+                pp, oo, rr, _ = algo.train_step(pp, oo, rr, kk)
+                return (pp, oo, rr), None
+            keys = jax.random.split(k, 100)
+            c, _ = jax.lax.scan(body, (p, o, r), keys)
+            return c
+
+        def tchunk(tag):
+            jf = jax.jit(f)
+            t0 = time.perf_counter()
+            out = jf(params, opt, rs, jax.random.PRNGKey(tag))
+            jax.block_until_ready(out)
+            comp = time.perf_counter() - t0
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                out = jf(params, opt, rs, jax.random.PRNGKey(tag))
+                jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            print(f"train chunk: {best*1e4:9.2f} us/step "
+                  f"(compile {comp:.1f}s)", flush=True)
+            return out
+
+        out = tchunk(2)
+        w = np.asarray(out[0]["out"]["W"])     # d2h transfer
+        print("transferred params", w.shape, flush=True)
+        tchunk(3)
+        clean(1e-8)
+    elif mode == "act_transfer":
+        # rollout WITHOUT commit: act + env step scan, then transfer
+        from smarties_tpu.envs import cartpole
+        from smarties_tpu.algos.vracer import VRacer
+        from smarties_tpu.utils.config import HyperParameters
+        cfg = HyperParameters(minTotObsNum=16384, maxTotObsNum=262144,
+                              batchSize=256, nnLayerSizes=[128, 128])
+        algo = VRacer(cartpole.MDP, cfg)
+        params, _ = algo.init(jax.random.PRNGKey(0))
+        act = algo.make_act_fn(True)
+        es = cartpole.init(jax.random.PRNGKey(1), 1024)
+
+        def roll(p, es, key):
+            def body(c, k):
+                es = c
+                obs = cartpole.MDP.observed(cartpole.observe(es))
+                a, mu, v, adv, _ = act(p, obs, k, ())
+                es, r, d, term = cartpole.step(
+                    es, cartpole.MDP.learner_to_env_action(a))
+                es = cartpole.reset_where(es, d, k)
+                return es, jnp.sum(r)
+            keys = jax.random.split(key, 16)
+            es, rs_ = jax.lax.scan(body, es, keys)
+            return es, rs_
+
+        es2, rsum = jax.jit(roll)(params, es, jax.random.PRNGKey(2))
+        jax.block_until_ready(es2)
+        x = np.asarray(rsum)       # d2h transfer after act+step scan
+        print("transferred", x.shape, flush=True)
+        tr = build()
+        time_chunk(tr)
+        clean(1e-8)
+    elif mode == "commit_transfer":
+        # commit_episodes alone, then transfer
+        from smarties_tpu.replay import buffer as rb
+        rs = rb.init_replay(4096, 500, 5, 1, 2, 4.0)
+        V, L1 = 1024, 501
+        k = jax.random.PRNGKey(0)
+        eps = dict(
+            states=jax.random.normal(k, (V, L1, 5)),
+            actions=jnp.zeros((V, L1, 1)), mus=jnp.zeros((V, L1, 2)),
+            rewards=jnp.zeros((V, L1)), value=jnp.zeros((V, L1)),
+            advantage=jnp.zeros((V, L1)), qret=jnp.zeros((V, L1)),
+            rho=jnp.ones((V, L1)))
+        done = jnp.ones((V,), bool)
+
+        def f(rs):
+            return rb.commit_episodes(
+                rs, eps["states"], eps["actions"], eps["mus"],
+                eps["rewards"], eps["value"], eps["advantage"],
+                eps["qret"], eps["rho"],
+                jnp.full((V,), 20, jnp.int32), jnp.zeros((V,), bool),
+                done, 262144, "oldest")
+        rs2 = jax.jit(f)(rs)
+        jax.block_until_ready(rs2.length)
+        x = np.asarray(rs2.n_seen_eps)   # transfer
+        print("transferred, n_seen:", x, flush=True)
+        tr = build()
+        time_chunk(tr)
+        clean(1e-8)
     elif mode == "pallas":
         clean(0.0)
         from smarties_tpu.replay import buffer as rb
