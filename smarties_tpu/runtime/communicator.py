@@ -113,6 +113,15 @@ class Communicator:
     def setNumAppendedPastObservations(self, n: int):
         self._spec["n_appended_obs"] = int(n)
 
+    def envHasDistributedAgents(self):
+        """The SAME logical agents span every process of the env team
+        (Communicator::envHasDistributedAgents, Communicator.cpp:221-235):
+        all team members send identical states, only rank 0's are
+        ingested, and every member receives the same action reply
+        (the action MPI_Bcast over environment_app_comm,
+        Worker.cpp:371-383). See apps/cart_pole_distribAgent."""
+        self._spec["distributed_agents"] = True
+
     def setIsPartiallyObservable(self, agent_id: int = 0):
         self._spec["partially_observable"] = True
 

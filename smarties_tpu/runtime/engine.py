@@ -269,6 +269,7 @@ class Engine:
         self.restart_path = None
         self.max_ep_len = 1024
         self.n_eval_episodes = 32   # --nEvalEpisodes when bTrain == 0
+        self.workers_per_env = 1    # Engine::setNworkersPerEnvironment
         self._parsed = False
 
     # ---------------- CLI (ExecutionInfo::parse, :95-170) ---------------
@@ -281,6 +282,7 @@ class Engine:
         p.add_argument("--restart", type=str, default=None)
         p.add_argument("--randSeed", type=int, default=0)
         p.add_argument("--maxEpisodeLength", type=int, default=1024)
+        p.add_argument("--workersPerEnvironment", type=int, default=1)
         try:
             args, _ = p.parse_known_args(self.argv[1:])
         except SystemExit:
@@ -293,6 +295,7 @@ class Engine:
         self.run_dir = args.runDir
         self.restart_path = args.restart
         self.max_ep_len = args.maxEpisodeLength
+        self.workers_per_env = args.workersPerEnvironment
         self._parsed = True
         return False
 
@@ -317,6 +320,13 @@ class Engine:
 
     def setNumEvaluationEpisodes(self, n: int):
         self.n_eval_episodes = n
+
+    def setNworkersPerEnvironment(self, n: int):
+        """Each env app is a team of n processes sharing a TeamComm — the
+        environment_app_comm analog for multi-process simulations
+        (Engine.cpp:51-55, ExecutionInfo.cpp:315-332; SURVEY §2.9 P6).
+        app_main is then called as app_main(comm, team)."""
+        self.workers_per_env = int(n)
 
     def setSimulationArgumentsFilePath(self, app_settings: str,
                                        n_step_per_file: str = ""):
@@ -362,7 +372,8 @@ class Engine:
             if opts and "run_dir" not in opts:
                 opts["run_dir"] = self.run_dir or "."
             pool = EnvPool(app_main, self.n_envs, seed=cfg.randSeed,
-                           launch_opts=opts or None)
+                           launch_opts=opts or None,
+                           workers_per_env=self.workers_per_env)
         mdp = pool.probe_spec()
         self.mdp = mdp
         n_agents = pool.n_agents

@@ -75,7 +75,8 @@ def _enter_sim_dir(env_id: int, launch_counter: int, launch_opts: dict):
 
 
 def _env_worker(app_main, conn, env_id: int, seed: int,
-                launch_opts: Optional[dict] = None):
+                launch_opts: Optional[dict] = None,
+                team=None):
     np.random.seed(seed)
     comm = Communicator(conn, env_id)
     launch_opts = launch_opts or {}
@@ -87,10 +88,24 @@ def _env_worker(app_main, conn, env_id: int, seed: int,
             if launch_opts.get("app_settings"):
                 _stage_args(comm, launch_opts)
             if sim_dirs:
-                launch_counter = _enter_sim_dir(env_id, launch_counter,
-                                                launch_opts) + 1
+                if team is not None and team.size > 1:
+                    # the whole team shares one sim dir (the reference
+                    # chdirs every rank of the env's app team into the
+                    # same folder, Launcher::createGoRunDir)
+                    if team.rank == 0:
+                        launch_counter = _enter_sim_dir(
+                            env_id, launch_counter, launch_opts) + 1
+                        team.bcast(os.getcwd())
+                    else:
+                        os.chdir(team.bcast())
+                else:
+                    launch_counter = _enter_sim_dir(
+                        env_id, launch_counter, launch_opts) + 1
             try:
-                app_main(comm)
+                if team is not None:
+                    app_main(comm, team)
+                else:
+                    app_main(comm)
             finally:
                 if sim_dirs:
                     os.chdir(home)
@@ -108,11 +123,28 @@ class EnvPool:
     """max_respawns: how many times a crashed env app is restarted before
     the pool gives up (the reference only detects the crash and dies,
     Worker.cpp:146 'app crashed. TODO: handle'; here the episode is
-    dropped via a FAIL event, Agent.h:83-86, and the app is relaunched)."""
+    dropped via a FAIL event, Agent.h:83-86, and the app is relaunched).
+
+    workers_per_env (Engine::setNworkersPerEnvironment, Engine.cpp:51-55;
+    SURVEY §2.9 P6): each env is a TEAM of M processes sharing a TeamComm
+    (the environment_app_comm analog, ExecutionInfo.cpp:315-332). Two
+    modes, matching the reference apps:
+      - distributed ENV (default): every team member is a full agent
+        channel — each sends its own states and receives its own actions
+        (apps/cart_pole_distribEnv); the team coordinates termination
+        itself via TeamComm.
+      - distributed AGENTS (app calls comm.envHasDistributedAgents()):
+        ONE logical set of agents spans the team; all members send
+        identical states, only rank 0's are ingested, and every member
+        receives the same action reply (the MPI_Bcast over
+        environment_app_comm, Worker.cpp:371-383).
+    A crashed member kills and respawns its whole team (members are
+    coupled by the team pipes)."""
 
     def __init__(self, app_main: Callable, n_envs: int, seed: int = 0,
                  max_respawns: int = 3,
-                 launch_opts: Optional[dict] = None):
+                 launch_opts: Optional[dict] = None,
+                 workers_per_env: int = 1):
         """launch_opts (Launcher.cpp:122-236 features): dict with
         sim_dirs (bool), run_dir (str), setup_folder (str),
         app_settings (list of arg-file paths),
@@ -122,27 +154,45 @@ class EnvPool:
         self._seed = seed
         self._launch_opts = launch_opts
         self.n_envs = n_envs
+        self.n_members = max(1, int(workers_per_env))
         self.max_respawns = max_respawns
-        self._respawns = [0] * n_envs
-        self._conns: List = [None] * n_envs
-        self._procs: List = [None] * n_envs
-        for i in range(n_envs):
-            self._spawn(i)
+        self._respawns = [0] * n_envs            # per team
+        n_procs = n_envs * self.n_members
+        self._conns: List = [None] * n_procs     # member-indexed
+        self._procs: List = [None] * n_procs
+        for t in range(n_envs):
+            self._spawn_team(t)
         self.spec = None
         self.mdp = None
         self.n_agents = 1
+        self.dist_agents = False
+        self._pending = {}   # member idx -> one buffered message
 
-    def _spawn(self, i: int):
-        parent, child = self._ctx.Pipe()
-        p = self._ctx.Process(
-            target=_env_worker,
-            args=(self._app_main, child, i,
-                  self._seed + i + self.n_envs * self._respawns[i],
-                  self._launch_opts),
-            daemon=True)
-        p.start()
-        child.close()
-        self._conns[i], self._procs[i] = parent, p
+    def _spawn_team(self, t: int):
+        """Fork all members of env team t with fresh team pipes."""
+        from smarties_tpu.runtime.team import TeamComm, make_team_pipes
+        M = self.n_members
+        root_ends, member_ends = make_team_pipes(self._ctx, M)
+        for m in range(M):
+            parent, child = self._ctx.Pipe()
+            team = None
+            if M > 1:
+                team = TeamComm(m, M,
+                                root_ends if m == 0 else member_ends[m - 1])
+            j = t * M + m
+            p = self._ctx.Process(
+                target=_env_worker,
+                args=(self._app_main, child, t,
+                      self._seed + j
+                      + self.n_envs * M * self._respawns[t],
+                      self._launch_opts, team),
+                daemon=True)
+            p.start()
+            child.close()
+            self._conns[j], self._procs[j] = parent, p
+        # parent keeps no team-pipe ends open
+        for c in root_ends + member_ends:
+            c.close()
 
     def probe_spec(self):
         """Wait for the first env's problem description (the reference
@@ -154,25 +204,37 @@ class EnvPool:
         self.mdp = spec_to_mdp(spec)
         self.mdps = spec_to_mdps(spec)  # one per learner (different_mdps)
         self.n_agents = spec.get("n_agents", 1)
-        self._pending0 = self._conns[0].recv()  # first state already sent
+        self.dist_agents = bool(spec.get("distributed_agents", False))
+        self._pending = {0: self._conns[0].recv()}  # first state is in
         return self.mdp
 
     @property
-    def n_lanes(self) -> int:
-        return self.n_envs * self.n_agents
+    def n_channels(self) -> int:
+        """Agent channels: team roots when agents are distributed across
+        the team, else every member (each member = its own agents)."""
+        if self.dist_agents:
+            return self.n_envs
+        return self.n_envs * self.n_members
 
-    def _recv(self, e: int):
-        """Blocking recv from env e that detects a dead worker: returns
+    @property
+    def n_lanes(self) -> int:
+        return self.n_channels * self.n_agents
+
+    def _member_of_channel(self, c: int) -> int:
+        return c * self.n_members if self.dist_agents else c
+
+    def _recv(self, j: int):
+        """Blocking recv from member j that detects a dead worker: returns
         None if the process died (the reference's crash surfaces as a FAIL
         status, Agent.h:23; detection analog of Worker.cpp:146)."""
-        conn = self._conns[e]
+        conn = self._conns[j]
         while True:
             try:
                 if conn.poll(0.05):
                     return conn.recv()
             except (EOFError, OSError):
                 return None
-            if not self._procs[e].is_alive():
+            if not self._procs[j].is_alive():
                 # drain anything the child flushed before dying
                 try:
                     if conn.poll(0):
@@ -181,27 +243,87 @@ class EnvPool:
                     pass
                 return None
 
-    def _handle_death(self, e: int):
-        """Respawn a crashed env app (or give up after max_respawns)."""
-        try:
-            self._conns[e].close()
-        except OSError:
-            pass
-        if self._respawns[e] >= self.max_respawns:
+    def _handle_death(self, t: int):
+        """Kill + respawn the whole crashed team (or give up)."""
+        M = self.n_members
+        for j in range(t * M, (t + 1) * M):
+            try:
+                self._conns[j].close()
+            except OSError:
+                pass
+            p = self._procs[j]
+            if p is not None and p.is_alive():
+                p.terminate()
+                p.join(timeout=2)
+        if self._respawns[t] >= self.max_respawns:
             raise EnvCrashed(
-                f"env {e} crashed {self._respawns[e] + 1} times; giving up")
-        self._respawns[e] += 1
-        self._spawn(e)
-        # fresh app re-sends its spec before the first state
-        kind, _ = self._conns[e].recv()
-        assert kind == "spec", kind
+                f"env {t} crashed {self._respawns[t] + 1} times; giving up")
+        self._respawns[t] += 1
+        self._spawn_team(t)
+        # fresh members each re-send their spec before the first state;
+        # gather loops skip "spec" messages, so nothing to drain here
+
+    def _fail_team(self, t: int, events):
+        """Emit FAIL for every lane hosted by team t (episode dropped by
+        the caller, Agent.h:83-86)."""
+        zero = np.zeros(self.mdp.dim_state)
+        if self.dist_agents:
+            chans = [t]
+        else:
+            chans = range(t * self.n_members, (t + 1) * self.n_members)
+        for c in chans:
+            for a in range(self.n_agents):
+                events.append((c * self.n_agents + a, FAIL, zero, 0.0))
+
+    def _pump_channel(self, c: int, events, states, rewards, statuses):
+        """Drive member channel c until each of its lanes has a pending
+        action request. Returns False if the member's team died (caller
+        restarts the channel scan for that team)."""
+        j = self._member_of_channel(c)
+        while True:
+            if j in self._pending:
+                msg = self._pending.pop(j)
+            else:
+                msg = self._recv(j)
+            if msg is None:
+                return False
+            if msg[0] == "spec":
+                continue
+            _, agent_id, status, state, reward = msg
+            lane = c * self.n_agents + agent_id
+            events.append((lane, status, state, reward))
+            states[lane, :len(state)] = state
+            rewards[lane] = reward
+            statuses[lane] = status
+            # the app blocks in recvAction once its LAST agent has an
+            # outstanding INIT/CONT (agents within an env act in lockstep
+            # rounds, like every reference demo app) -> round complete
+            if status in (INIT, CONT) and agent_id == self.n_agents - 1:
+                return True
+
+    def _drain_member(self, j: int):
+        """dist-agent non-root member: consume its (duplicate) messages
+        until it blocks on recvAction for its last agent. Returns False
+        if the member died."""
+        while True:
+            if j in self._pending:
+                msg = self._pending.pop(j)
+            else:
+                msg = self._recv(j)
+            if msg is None:
+                return False
+            if msg[0] == "spec":
+                continue
+            _, agent_id, status, _, _ = msg
+            if status in (INIT, CONT) and agent_id == self.n_agents - 1:
+                return True
 
     def gather_states(self):
         """Collect, per lane, messages until each lane has a pending
         action request (INIT/CONT) — TERM/LAST messages are returned as
         completed-step records without action requests. A crashed worker
-        yields FAIL events for its lanes (episode dropped by the caller,
-        Agent.h:83-86) and is respawned.
+        yields FAIL events for its team's lanes (episode dropped by the
+        caller, Agent.h:83-86) and the team is respawned.
 
         Returns (events, states [n_lanes, dimS], rewards [n_lanes],
                  statuses [n_lanes]).
@@ -214,43 +336,42 @@ class EnvPool:
         rewards = np.zeros(n)
         statuses = np.full(n, -1, np.int64)
         events = []   # ordered (lane, status, state, reward) records
-        for e in range(self.n_envs):
-            waiting = True
-            while waiting:
-                if e == 0 and getattr(self, "_pending0", None) is not None:
-                    msg = self._pending0
-                    self._pending0 = None
+        M = self.n_members
+        for t in range(self.n_envs):
+            while True:   # restart the team's scan after a respawn
+                if self.dist_agents:
+                    chans = [t]
                 else:
-                    msg = self._recv(e)
-                if msg is None:   # worker died mid-episode
-                    zero = np.zeros(self.mdp.dim_state)
-                    for a in range(self.n_agents):
-                        events.append((e * self.n_agents + a, FAIL,
-                                       zero, 0.0))
-                    self._handle_death(e)
-                    continue      # fresh app proceeds to its INIT state
-                if msg[0] == "spec":
-                    continue
-                _, agent_id, status, state, reward = msg
-                lane = e * self.n_agents + agent_id
-                events.append((lane, status, state, reward))
-                states[lane, :len(state)] = state
-                rewards[lane] = reward
-                statuses[lane] = status
-                # INIT/CONT block the app in recvAction -> need a reply
-                if status in (INIT, CONT):
-                    waiting = False
+                    chans = range(t * M, (t + 1) * M)
+                ok = all(self._pump_channel(c, events, states, rewards,
+                                            statuses) for c in chans)
+                if ok and self.dist_agents and M > 1:
+                    ok = all(self._drain_member(j)
+                             for j in range(t * M + 1, (t + 1) * M))
+                if ok:
+                    break
+                self._fail_team(t, events)
+                self._handle_death(t)
         return events, states, rewards, statuses
 
     def send_actions(self, env_actions: np.ndarray):
-        """Reply one action per lane (lane-major order)."""
-        for e, conn in enumerate(self._conns):
+        """Reply one action per lane (lane-major order). When agents are
+        distributed across a team, every member gets the same replies
+        (action MPI_Bcast analog, Worker.cpp:371-383)."""
+        for c in range(self.n_channels):
+            j = self._member_of_channel(c)
+            if self.dist_agents and self.n_members > 1:
+                conns = self._conns[c * self.n_members:
+                                    (c + 1) * self.n_members]
+            else:
+                conns = [self._conns[j]]
             for a in range(self.n_agents):
-                lane = e * self.n_agents + a
-                try:
-                    conn.send(env_actions[lane])
-                except (BrokenPipeError, OSError):
-                    pass  # death is detected on the next gather round
+                lane = c * self.n_agents + a
+                for conn in conns:
+                    try:
+                        conn.send(env_actions[lane])
+                    except (BrokenPipeError, OSError):
+                        pass  # death is detected on the next gather round
 
     def kill(self):
         for conn in self._conns:
