@@ -299,8 +299,19 @@ def main():
         return BUDGET_S - (time.time() - t_start)
 
     extras = {"n_envs": 1024, "batch_size": 256}
-    errors = []
+    errors, skipped, etts = [], [], []
 
+    def quality_child(s, budget):
+        q = run_child(f"quality{s}", budget)
+        if "error" in q:
+            errors.append(q["error"])
+        else:
+            etts.append(q)
+
+    # breadth first: headline, one quality seed (primary gate), the
+    # decoupled throughputs, Atari scale; extra quality seeds take
+    # whatever budget is left. Children are mostly compile-bound
+    # (~2-4 min each through the remote-compile tunnel).
     head = run_child("fused", min(180.0, left()))
     if "error" in head:
         errors.append(head["error"])
@@ -308,15 +319,27 @@ def main():
     extras.update(head)
     value = head.get("combined_env_steps_per_s", 0.0)
 
-    etts = []
-    for s in range(3):
-        if left() < 90 and s > 0:
-            break
-        q = run_child(f"quality{s}", min(150.0, max(60.0, left() - 30)))
-        if "error" in q:
-            errors.append(q["error"])
+    if left() > 60:
+        quality_child(0, min(260.0, max(60.0, left() - 30)))
+    else:
+        skipped.append("quality0")
+
+    for m, t in (("steady", 80.0), ("atari", 150.0)):
+        if left() < t + 20:
+            skipped.append(m)
+            continue
+        r = run_child(m, t)
+        if "error" in r:
+            errors.append(r["error"])
         else:
-            etts.append(q)
+            extras.update(r)
+
+    for s in (1, 2):
+        if left() < 90:
+            skipped.append(f"quality{s}")
+            continue
+        quality_child(s, min(260.0, max(60.0, left() - 30)))
+
     if etts:
         vals = [q["episodes_to_threshold"] for q in etts]
         ok = sorted(v for v in vals if v is not None)
@@ -325,17 +348,10 @@ def main():
             ok[len(ok) // 2] if ok else None)
         extras["quality_detail"] = etts
 
-    for m, t in (("steady", 80.0), ("atari", 150.0)):
-        if left() < t + 20:
-            break
-        r = run_child(m, t)
-        if "error" in r:
-            errors.append(r["error"])
-        else:
-            extras.update(r)
-
     if errors:
         extras["errors"] = errors
+    if skipped:   # no silent caps: say what the budget dropped
+        extras["skipped_for_budget"] = skipped
     print(json.dumps({
         "metric": "combined_env_steps_per_s",
         "value": value,

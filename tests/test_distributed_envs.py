@@ -128,6 +128,26 @@ class TestDistribAgent:
 
 
 # ---------------------------------------------------------------------
+class TestPredatorPreyApp:
+    def test_competing_demo_trains(self, tmp_path):
+        """The external predator/prey demo (reference apps/predator_prey):
+        two per-agent MDPs -> two learners, zero-sum rewards."""
+        app = load_app("predator_prey")
+        e = smarties_tpu.Engine([])
+        e.setNEnvironments(2)
+        e.setSettings(cfg())
+        e.setNTrainSteps(10)
+        e.setMaxEpisodeLength(512)
+        e.run_dir = str(tmp_path)
+        e.run(app.app_main, max_wall_s=240)
+        assert len(e.learners) == 2
+        b0, b1 = e.learners
+        assert b0.n_grad >= 10 and b1.n_grad >= 10
+        assert int(b0.rs.n_stored_eps()) > 0
+        assert int(b1.rs.n_stored_eps()) > 0
+
+
+# ---------------------------------------------------------------------
 class TestCartPoleMany:
     def test_per_agent_mdps_two_learners(self, tmp_path):
         app = load_app("cart_pole_many")
