@@ -30,16 +30,28 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "docs", "curves")
 
 # name -> (env, recipe, overrides, grad-step budget, wall cap s, n_envs)
+#
+# Budgets are sized in env-steps-per-lane: at obsPerStep=1 each lane sees
+# grad_steps/n_envs env steps, so a 200-step pendulum episode needs
+# ~200k grad steps per episode-per-lane at 1024 lanes. Wall cost is
+# almost entirely the 2-3 jit compiles (~40-60 s each through the
+# remote-compile tunnel); the training itself runs at millions of
+# steps/s, so 10x more grad steps costs seconds.
 COMBOS = {
     "vracer_pendulum": ("pendulum", "VRACER",
                         {"gamma": 0.99, "minTotObsNum": 65536,
-                         "maxTotObsNum": 131072}, 200_000, 300, 1024),
+                         "maxTotObsNum": 131072}, 2_000_000, 400, 1024),
     "dpg_pendulum": ("pendulum", "DPG",
                      {"gamma": 0.99, "minTotObsNum": 65536,
-                      "maxTotObsNum": 131072}, 400_000, 300, 1024),
-    "ppo_pendulum": ("pendulum", "PPO", {"gamma": 0.99}, 30_000, 300, 64),
+                      "maxTotObsNum": 131072}, 2_000_000, 400, 1024),
+    # PPO.json horizon (maxTotObsNum) is 2048: min must come down with it
+    "ppo_pendulum": ("pendulum", "PPO",
+                     {"gamma": 0.99, "minTotObsNum": 2048},
+                     30_000, 300, 64),
+    # glider episodes run up to 400 steps: 3M grad steps = ~2900 env
+    # steps per lane = ~7 episodes per lane
     "racer_glider": ("glider", "RACER_glider",
-                     {"minTotObsNum": 65536}, 300_000, 400, 1024),
+                     {"minTotObsNum": 65536}, 3_000_000, 500, 1024),
 }
 
 
@@ -98,9 +110,12 @@ def render():
     import numpy as np
 
     HUE = "#3056d3"      # one hue per panel: same entity, two weights
-    runs = [n for n in COMBOS if os.path.exists(
-        os.path.join(OUT, "runs", n,
-                     "agent_00_rank00_cumulative_rewards.dat"))]
+    def has_rows(n):
+        p = os.path.join(OUT, "runs", n,
+                         "agent_00_rank00_cumulative_rewards.dat")
+        return os.path.exists(p) and os.path.getsize(p) > 0
+
+    runs = [n for n in COMBOS if has_rows(n)]
     if not runs:
         print("no runs to render")
         return
