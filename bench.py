@@ -33,6 +33,7 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -91,33 +92,51 @@ def metric_quality(seed, budget):
     minTotObsNum 131072->65536 (the 4096-slot ring cannot hold 131k obs
     of short random-policy warmup episodes).
 
-    The curve tracker runs ON DEVICE inside one jitted macro-scan of
-    fused cycles: each cycle updates a ring of the last TRAIL
-    completed-episode returns and emits (episode count, trailing mean)
-    as scan outputs, so the child issues a SINGLE device->host transfer
-    of a [K,2] curve at the very end — per-cycle deferred logs would
-    need hundreds of post-poisoning transfers (that's what timed this
-    metric out in the r02 first capture). Episodes-to-threshold is
-    computed host-side from the curve; THRESHOLD applies to NOISY
-    training returns (explNoise 0.447 caps those well below the
-    deterministic 500 — at the noise ceiling the policy is balancing),
-    and the deterministic-policy claim is separately proven by a 32-
-    episode noise-free eval AFTER the clock stops."""
+    Budget handling (r2 VERDICT #1 / ADVICE #1): the curve tracker runs
+    ON DEVICE inside a jitted macro-scan of fused cycles, but the scan is
+    CHUNKED — KC cycles per program execution with a host wall-clock
+    check between chunks — so the child always emits a result: a full
+    256-cycle run when the budget allows, otherwise a partial curve
+    tagged "partial": true. The per-chunk device->host transfer is one
+    small [KC,3] curve; the post-transfer dispatch floor (~0.3 ms/exec,
+    tools/profile_fresh.py) is paid once per KC*1024 grad steps, which
+    is noise. Episodes-to-threshold is computed host-side from the
+    curve; THRESHOLD applies to NOISY training returns (explNoise 0.447
+    caps those well below the deterministic 500 — at the noise ceiling
+    the policy is balancing); the observed ceiling is emitted as
+    noisy_return_ceiling so the 150 gate's headroom is evidenced in the
+    capture. The deterministic-policy claim is separately proven by a
+    32-episode noise-free eval AFTER the clock stops (skipped, and
+    marked so, if the remaining budget cannot absorb its compile)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from jax import lax
-    tr = _build_trainer(seed)
-    tr.cfg.minTotObsNum = tr.n_obs_b4_start = 65536
-    tr.warmup(chunk=16, blind_sweeps=65536 // 1024)
+    t_child0 = time.perf_counter()
+    res = {"seed": seed, "stage": "build"}
+    try:
+        tr = _build_trainer(seed)
+        tr.cfg.minTotObsNum = tr.n_obs_b4_start = 65536
+        res["build_s"] = round(time.perf_counter() - t_child0, 1)
+        res["stage"] = "warmup"
+        tr.warmup(chunk=16, blind_sweeps=65536 // 1024)
+        res["warmup_s"] = round(
+            time.perf_counter() - t_child0 - res["build_s"], 1)
+    except _Terminated:
+        res.update(partial=True, terminated_in=res["stage"])
+        return res
     n_train = tr.n_envs                  # obsPerStep == 1 pacing
     K = 256                              # <= 262144 grad steps
+    KC = 16                              # cycles per jitted chunk
     TOPK = 128                           # max episode completions/sweep
 
     def fold(trk, done, ret):
-        # completed lanes first; at most TOPK completions per 1-step sweep
+        # completed lanes first; at most TOPK completions per 1-step
+        # sweep; completions beyond TOPK are counted in the overflow
+        # output instead of silently dropped (no-silent-caps rule)
         order = jnp.argsort(~done)
         d, r = done[order][:TOPK], ret[order][:TOPK]
+        ovf = jnp.maximum(done.sum() - TOPK, 0)
 
         def push(t, dr):
             ring, cnt = t
@@ -125,41 +144,80 @@ def metric_quality(seed, budget):
             ring2 = jnp.where(dd, ring.at[cnt % TRAIL].set(rr), ring)
             return (ring2, cnt + dd.astype(jnp.int32)), None
 
-        return lax.scan(push, trk, (d, r))[0]
+        return lax.scan(push, trk, (d, r))[0], ovf
 
-    def macro(params, opt, carry, trk):
+    def macro(params, opt, carry, trk, base):
         def body(c, i):
             p, o, cr, t = c
             p, o, cr, _ms, logs = tr._fused_cycle(p, o, cr, 1, n_train)
             done, _length, ret = logs[0], logs[1], logs[2]
-            t = fold(t, done.reshape(-1), ret.reshape(-1))
+            t, ovf = fold(t, done.reshape(-1), ret.reshape(-1))
             # the reference's every-1000-grad-steps replay refresh
             # (cadence == once per 1024-step cycle, like train_fused)
             cr = cr._replace(replay=tr._refresh(
-                cr.replay, (i + 1.0) * n_train))
-            return (p, o, cr, t), (t[1], t[0].mean())
+                cr.replay, (base + i + 1.0) * n_train))
+            return (p, o, cr, t), (t[1], t[0].mean(), ovf)
 
         return lax.scan(body, (params, opt, carry, trk),
-                        jnp.arange(K, dtype=jnp.float32))
+                        jnp.arange(KC, dtype=jnp.float32))
 
-    trk0 = (jnp.zeros(TRAIL), jnp.zeros((), jnp.int32))
-    (p, o, carry, trk), (cnts, means) = jax.jit(macro)(
-        tr.params, tr.opt_state, tr.carry, trk0)
-    jax.block_until_ready(cnts)
+    jm = jax.jit(macro)
+    trk = (jnp.zeros(TRAIL), jnp.zeros((), jnp.int32))
+    p, o, carry = tr.params, tr.opt_state, tr.carry
+    cnts_all, means_all, overflow = [], [], 0
+    cycles = 0
+    res["stage"] = "train"
+    deadline = budget - 15.0   # room to emit json; eval gated separately
+    try:
+        while cycles < K:
+            (p, o, carry, trk), (cnts, means, ovf) = jm(
+                p, o, carry, trk, float(cycles))
+            jax.block_until_ready(cnts)
+            if cycles == 0:
+                res["first_chunk_s"] = round(
+                    time.perf_counter() - t_child0
+                    - res["build_s"] - res["warmup_s"], 1)
+            cycles += KC
+            cnts_all.append(np.asarray(cnts))
+            means_all.append(np.asarray(means))
+            overflow += int(np.asarray(ovf).sum())
+            if time.perf_counter() - t_child0 > deadline:
+                break
+    except _Terminated:
+        pass     # parent slice ended: report the curve so far
+    if not cnts_all:
+        res.update(partial=True, terminated_in="first_chunk")
+        return res
     tr.params, tr.opt_state, tr.carry = p, o, carry   # for the eval below
-    cnts, means = np.asarray(cnts), np.asarray(means)
+    cnts = np.concatenate(cnts_all)
+    means = np.concatenate(means_all)
     ok = (cnts >= TRAIL) & (means >= THRESHOLD)
     ep = int(cnts[np.argmax(ok)]) if ok.any() else None
-    # deterministic-policy proof (transfers now; the clock is done)
-    ev = tr.evaluate(32)
-    return {"seed": seed, "episodes_to_threshold": ep,
-            "episodes_total": int(cnts[-1]),
-            "grad_steps": K * n_train, "env_steps": K * tr.n_envs,
-            "final_trail_mean": round(float(means[-1]), 1)
-            if cnts[-1] >= TRAIL else None,
-            "eval_mean_deterministic": round(float(np.mean(ev)), 1),
-            "curve_every_cycle": [[int(c), round(float(m), 1)]
-                                  for c, m in zip(cnts[::16], means[::16])]}
+    res.pop("stage")
+    res.update({
+        "episodes_to_threshold": ep,
+        "episodes_total": int(cnts[-1]),
+        "grad_steps": cycles * n_train, "env_steps": cycles * tr.n_envs,
+        "final_trail_mean": round(float(means[-1]), 1)
+        if cnts[-1] >= TRAIL else None,
+        "noisy_return_ceiling": round(float(means.max()), 1),
+        "tracker_overflow_episodes": overflow,
+        "curve_every_cycle": [[int(c), round(float(m), 1)]
+                              for c, m in zip(cnts[::16], means[::16])]})
+    if cycles < K:
+        res["partial"] = True     # budget ran out; curve above is real
+    # deterministic-policy proof (transfers now; the clock is done).
+    # The eval program is one more cold compile — skip it (and say so)
+    # if the remaining budget can't absorb that.
+    if budget - (time.perf_counter() - t_child0) > 45.0:
+        try:
+            ev = tr.evaluate(32)
+            res["eval_mean_deterministic"] = round(float(np.mean(ev)), 1)
+        except _Terminated:
+            res["eval_skipped_for_budget"] = True
+    else:
+        res["eval_skipped_for_budget"] = True
+    return res
 
 
 def metric_steady(budget):
@@ -264,31 +322,71 @@ def metric_atari(budget):
 # parent: sequential subprocess per metric, one JSON line out
 # ======================================================================
 
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+
+
+class _Terminated(Exception):
+    """Raised in the child's main thread on SIGTERM: the parent slice is
+    over — emit whatever partial result exists (never SIGKILL a
+    TPU-attached process first: a hard kill wedges the device-tunnel
+    claim for minutes and poisons every later child, which is what
+    cascaded the r02 capture from one timeout into four skips)."""
+
+
+def _on_sigterm(signum, frame):
+    raise _Terminated()
+
+
 def run_child(metric, budget):
-    env = dict(os.environ, BENCH_CHILD_BUDGET=str(budget))
+    # persistent XLA compile cache shared across children (and across
+    # bench invocations): the children are compile-bound through the
+    # remote-compile tunnel, so warm cache entries are what lets all
+    # metrics fit the driver budget (r2 VERDICT #1).
+    env = dict(os.environ, BENCH_CHILD_BUDGET=str(budget),
+               JAX_COMPILATION_CACHE_DIR=os.environ.get(
+                   "JAX_COMPILATION_CACHE_DIR", CACHE_DIR),
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
+               JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0")
+    t0 = time.time()
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--metric", metric],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
     try:
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--metric", metric],
-            capture_output=True, text=True, env=env,
-            timeout=budget + 120)  # last resort; children self-limit
+        out, err = p.communicate(timeout=budget + 60)
     except subprocess.TimeoutExpired:
-        return {"error": f"{metric}: timeout"}
-    for line in reversed(p.stdout.strip().splitlines()):
+        p.terminate()     # graceful: child catches SIGTERM, dumps partial
         try:
-            return json.loads(line)
+            out, err = p.communicate(timeout=30)
+        except subprocess.TimeoutExpired:   # wedged in native code
+            p.kill()
+            try:
+                out, err = p.communicate(timeout=10)
+            except subprocess.TimeoutExpired:
+                out, err = "", ""
+            time.sleep(30)   # let the tunnel claim recover before the
+            #                  next child (hard kills wedge it)
+    wall = round(time.time() - t0, 1)
+    for line in reversed((out or "").strip().splitlines()):
+        try:
+            return dict(json.loads(line), child_wall_s=wall)
         except ValueError:
             continue
-    return {"error": f"{metric}: rc={p.returncode} "
-                     f"{(p.stderr or '')[-300:]}"}
+    return {"error": f"{metric}: rc={p.returncode} wall={wall}s "
+                     f"{(err or '')[-300:]}"}
 
 
 def child_main(metric):
     budget = float(os.environ.get("BENCH_CHILD_BUDGET", 120.0))
+    signal.signal(signal.SIGTERM, _on_sigterm)
     if metric.startswith("quality"):
         out = metric_quality(int(metric[-1]), budget)
     else:
-        out = {"fused": metric_fused, "steady": metric_steady,
-               "atari": metric_atari}[metric](budget)
+        try:
+            out = {"fused": metric_fused, "steady": metric_steady,
+                   "atari": metric_atari}[metric](budget)
+        except _Terminated:
+            out = {"error": f"{metric}: terminated at slice end"}
     print(json.dumps(out), flush=True)
 
 
@@ -341,7 +439,7 @@ def main():
         quality_child(s, min(260.0, max(60.0, left() - 30)))
 
     if etts:
-        vals = [q["episodes_to_threshold"] for q in etts]
+        vals = [q.get("episodes_to_threshold") for q in etts]
         ok = sorted(v for v in vals if v is not None)
         extras["episodes_to_threshold"] = vals
         extras["episodes_to_threshold_median"] = (

@@ -50,6 +50,11 @@ class MDPSpec:
     n_agents_per_env: int = 1
     # shared exploration noise across agents (Agent.h:315-362)
     shared_noise: bool = False
+    # optional user-provided state box (setStateScales,
+    # Communicator.cpp:98-122): seeds the state-standardization stats
+    # until the online estimates warm up; mean=(u+l)/2, std=|u-l|
+    state_upper: Tuple[float, ...] = ()
+    state_lower: Tuple[float, ...] = ()
 
     def __post_init__(self):
         if not self.observable:
@@ -127,6 +132,22 @@ class MDPSpec:
     @property
     def observable_mask(self) -> np.ndarray:
         return np.asarray(self.observable, dtype=bool)
+
+    @property
+    def state_stats_init(self):
+        """(mean, std) over OBSERVED dims from the user state box, or
+        None if setStateScales was never called. The reference seeds its
+        standardization stats with mean=(u+l)/2, std=|u-l| and replaces
+        them once online estimates warm up (Communicator.cpp:98-122,
+        StateAction.h:181-203)."""
+        if not self.state_upper or not self.state_lower:
+            return None
+        u = np.asarray(self.state_upper, np.float32)
+        l = np.asarray(self.state_lower, np.float32)
+        mask = self.observable_mask
+        mean = ((u + l) / 2.0)[mask]
+        std = np.maximum(np.abs(u - l), 1e-7)[mask]
+        return mean, std
 
     # ---------------- device-side mappings ----------------
     def observed(self, state: jnp.ndarray) -> jnp.ndarray:

@@ -92,7 +92,9 @@ class Communicator:
         self._set(agent_id, observable=tuple(bool(b) for b in observable))
 
     def setStateScales(self, upper, lower, agent_id: int = 0):
-        # accepted for API parity; runtime normalization is learned online
+        """Rough state box used to SEED the standardization stats until
+        the online estimates warm up (Communicator.cpp:98-122: "serves
+        only as an optional initialization for statistics")."""
         self._set(agent_id, state_upper=tuple(map(float, upper)),
                   state_lower=tuple(map(float, lower)))
 
@@ -108,6 +110,11 @@ class Communicator:
         take agent_id to describe each agent's problem."""
         assert self._spec["n_agents"] > 1, \
             "call setNumAgents(>1) before agentsDefineDifferentMDP"
+        # mutually exclusive with distributed agents (the reference
+        # die()s on the combination, Communicator.cpp:200-205)
+        assert not self._spec.get("distributed_agents"), \
+            "envHasDistributedAgents and agentsDefineDifferentMDP " \
+            "are mutually exclusive (Communicator.cpp:200-205)"
         self._spec["different_mdps"] = True
 
     def setNumAppendedPastObservations(self, n: int):
@@ -120,6 +127,9 @@ class Communicator:
         ingested, and every member receives the same action reply
         (the action MPI_Bcast over environment_app_comm,
         Worker.cpp:371-383). See apps/cart_pole_distribAgent."""
+        assert not self._spec.get("different_mdps"), \
+            "envHasDistributedAgents and agentsDefineDifferentMDP " \
+            "are mutually exclusive (Communicator.cpp:200-205)"
         self._spec["distributed_agents"] = True
 
     def setIsPartiallyObservable(self, agent_id: int = 0):
@@ -213,7 +223,9 @@ def spec_to_mdp(spec: dict, agent_id: int = 0):
               n_agents_per_env=spec.get("n_agents", 1),
               n_appended_obs=spec.get("n_appended_obs", 0),
               conv_layers=spec.get("conv_layers", ()),
-              shared_noise=spec.get("shared_noise", False))
+              shared_noise=spec.get("shared_noise", False),
+              state_upper=tuple(spec.get("state_upper", ())),
+              state_lower=tuple(spec.get("state_lower", ())))
     if spec.get("discrete_values"):
         kw["discrete_values"] = spec["discrete_values"]
     else:

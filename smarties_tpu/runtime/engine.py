@@ -133,6 +133,15 @@ class _LearnerBundle:
                                  mdp.dim_state_observed, mdp.dim_action,
                                  mdp.dim_policy, cfg.clipImpWeight,
                                  mu_init=rb.safe_mu(mdp))
+        # user-provided state box seeds the standardization stats until
+        # the online estimates initialize (setStateScales,
+        # Communicator.cpp:98-122, StateAction.h:181-203)
+        ss = mdp.state_stats_init
+        if ss is not None:
+            mean, std = ss
+            self.rs = self.rs._replace(
+                state_mean=jnp.asarray(mean), state_std=jnp.asarray(std),
+                state_scale=jnp.asarray(1.0 / std))
         self.act_jit = jax.jit(self.algo.make_act_fn(train=cfg.bTrain))
         # per-agent persistent recurrent context for acting
         # (AgentContext analog); () for feed-forward nets
@@ -283,6 +292,11 @@ class Engine:
         p.add_argument("--randSeed", type=int, default=0)
         p.add_argument("--maxEpisodeLength", type=int, default=1024)
         p.add_argument("--workersPerEnvironment", type=int, default=1)
+        # eval-mode flags (ExecutionInfo.cpp:95-170: --bTrain /
+        # --nEvalEpisodes; eval implies restart from "." by default,
+        # Engine.cpp:92-95)
+        p.add_argument("--bTrain", type=int, default=1)
+        p.add_argument("--nEvalEpisodes", type=int, default=0)
         try:
             args, _ = p.parse_known_args(self.argv[1:])
         except SystemExit:
@@ -296,6 +310,14 @@ class Engine:
         self.restart_path = args.restart
         self.max_ep_len = args.maxEpisodeLength
         self.workers_per_env = args.workersPerEnvironment
+        if args.nEvalEpisodes > 0:
+            args.bTrain = 0
+            self.n_eval_episodes = args.nEvalEpisodes
+        if not args.bTrain:
+            self.cfg.bTrain = 0
+            if self.restart_path is None:    # Engine.cpp:92-95
+                self.restart_path = os.path.join(
+                    self.run_dir or ".", "checkpoint.pkl")
         self._parsed = True
         return False
 
@@ -311,6 +333,33 @@ class Engine:
 
     def setSettings(self, cfg: HyperParameters):
         self.cfg = cfg
+
+    def setLearnerSettings(self, learner_id: int, cfg: HyperParameters):
+        """Per-learner hyperparameters/algorithm override for competing
+        agents — the programmatic form of the reference's per-learner
+        `settings_%02u.json` lookup (AlgoFactory::findSettingsFile,
+        AlgoFactory.cpp:37-58): each learner may train with a different
+        algorithm and recipe (e.g. V-RACER predator vs DPG prey)."""
+        if not hasattr(self, "learner_cfgs"):
+            self.learner_cfgs = {}
+        self.learner_cfgs[int(learner_id)] = cfg
+
+    def _resolve_learner_cfg(self, learner_id: int) -> HyperParameters:
+        """Settings for learner `learner_id`: programmatic override
+        first, then `settings_%02u.json` in the run dir, then the shared
+        settings (the reference falls back to `settings.json`,
+        AlgoFactory.cpp:37-58)."""
+        cfgs = getattr(self, "learner_cfgs", {})
+        if learner_id in cfgs:
+            return cfgs[learner_id]
+        if self.run_dir:
+            path = os.path.join(self.run_dir,
+                                f"settings_{learner_id:02d}.json")
+            if os.path.exists(path):
+                cfg = HyperParameters.from_json(path)
+                cfg.randSeed = self.cfg.randSeed
+                return cfg
+        return self.cfg
 
     def setRestartFolderPath(self, path: str):
         self.restart_path = path
@@ -362,10 +411,16 @@ class Engine:
 
     # ---------------- main loop (Engine::run, Master/Worker) ------------
     def run(self, app_main: Callable, max_wall_s: float = float("inf"),
-            pool=None):
+            pool=None, serving: Optional[str] = None):
         """app_main: python callable run in forked workers; OR pass a
         ready-made pool (e.g. runtime.socket_pool.SocketEnvPool for native
-        C++/Fortran apps) and app_main is ignored."""
+        C++/Fortran apps) and app_main is ignored.
+
+        serving: "event" (default when the pool supports it) answers each
+        env the moment its state lands — nonblocking round-robin like the
+        reference's master (Master::waitForStateActionCallers,
+        Core/Master.cpp:118-144), so one slow env app does not rate-limit
+        the rest; "lockstep" waits for every lane each round."""
         cfg = self.cfg
         if pool is None:
             opts = dict(getattr(self, "_launch_opts", {}) or {})
@@ -387,7 +442,7 @@ class Engine:
                         for lane in range(n_lanes)]
         bundles = [_LearnerBundle(
             l, mdps[l],
-            cfg,
+            self._resolve_learner_cfg(l),
             [lane for lane in range(n_lanes) if lane_learner[lane] == l],
             self.max_ep_len) for l in range(n_learners)]
         self.learners = bundles
@@ -434,6 +489,9 @@ class Engine:
                 pickle.dump(snap, f)
             os.replace(tmp, os.path.join(self.run_dir, "checkpoint.pkl"))
 
+        if serving is None:
+            serving = "event" if hasattr(pool, "poll_states") else \
+                "lockstep"
         last_save = 0
         t0 = time.time()
         try:
@@ -441,8 +499,14 @@ class Engine:
                    and time.time() - t0 < max_wall_s):
                 if eval_mode and eval_episodes_done >= self.n_eval_episodes:
                     break
-                # ---- serve all envs one round ----
-                events, states, rewards, statuses = pool.gather_states()
+                # ---- serve pending envs one round ----
+                if serving == "event":
+                    events, ready_lanes = pool.poll_states(timeout=0.05)
+                    ready = set(ready_lanes)
+                else:
+                    events, states, rewards, statuses = \
+                        pool.gather_states()
+                    ready = None    # every lane is served each round
                 for lane, status, state, reward in events:
                     b = bundles[lane_learner[lane]]
                     if status == FAIL:
@@ -506,9 +570,16 @@ class Engine:
                         last_save = bundles[0].n_grad
                         save_checkpoint()
 
-                # ---- act on pending requests (batched per learner) ----
+                # ---- act on pending requests (batched per learner; the
+                # batch always covers ALL of the learner's lanes so one
+                # compiled shape serves every partial round — replies and
+                # recurrent-state updates apply only to ready lanes) ----
                 env_act: List = [None] * n_lanes
                 for b in bundles:
+                    b_ready = b.lanes if ready is None else \
+                        [ln for ln in b.lanes if ln in ready]
+                    if not b_ready:
+                        continue
                     k_app = b.mdp.n_appended_obs
                     obs_rows = []
                     for lane in b.lanes:
@@ -521,8 +592,18 @@ class Engine:
                                 - b.rs.state_mean) * b.rs.state_scale
                                ).reshape(len(b.lanes), -1)
                     b.key, k_act = jax.random.split(b.key)
-                    a, mu, val, adv, b.rnn = b.act_jit(
+                    a, mu, val, adv, new_rnn = b.act_jit(
                         b.params, obs_std, k_act, b.rnn)
+                    if b.rnn != () and ready is not None:
+                        # recurrent contexts advance ONLY for served
+                        # lanes (AgentContext moves one step per reply)
+                        sel = np.asarray([ln in ready for ln in b.lanes])
+                        idx = jnp.asarray(np.nonzero(sel)[0])
+                        b.rnn = jax.tree_util.tree_map(
+                            lambda old, new: old.at[idx].set(new[idx]),
+                            b.rnn, new_rnn)
+                    else:
+                        b.rnn = new_rnn
                     acts_env = np.asarray(
                         b.mdp.learner_to_env_action(a), np.float64)
                     if not np.isfinite(acts_env).all():
@@ -532,6 +613,8 @@ class Engine:
                     a_np, mu_np = np.asarray(a), np.asarray(mu)
                     v_np, adv_np = np.asarray(val), np.asarray(adv)
                     for i, lane in enumerate(b.lanes):
+                        if ready is not None and lane not in ready:
+                            continue
                         env_act[lane] = acts_env[i]
                         if (lane % n_agents) in untracked:
                             lanes[lane].reset()

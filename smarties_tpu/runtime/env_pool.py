@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import multiprocessing as mp
 import os
+import time
+from multiprocessing.connection import wait as _conn_wait
 from typing import Callable, List, Optional, Tuple
 
 import numpy as np
@@ -318,6 +320,154 @@ class EnvPool:
             if status in (INIT, CONT) and agent_id == self.n_agents - 1:
                 return True
 
+    # ---------------- event-driven serving (Master.cpp:118-144) ----------
+    _DEAD = object()
+
+    def _try_recv(self, j: int):
+        """Nonblocking recv from member j: a message, None (nothing
+        buffered), or _DEAD if the worker died — the nonblocking
+        Irecv+Test of the reference's serving loop (Master.cpp:118-132)."""
+        conn = self._conns[j]
+        try:
+            if conn.poll(0):
+                return conn.recv()
+        except (EOFError, OSError):
+            return self._DEAD
+        if not self._procs[j].is_alive():
+            try:
+                if conn.poll(0):
+                    return conn.recv()
+            except (EOFError, OSError):
+                pass
+            return self._DEAD
+        return None
+
+    def _pump_channel_nb(self, c: int) -> str:
+        """Drain whatever channel c has sent so far into its round
+        buffer. -> 'complete' (all lanes now have a pending action
+        request), 'pending', or 'dead'."""
+        j = self._member_of_channel(c)
+        buf = self._chan_events.setdefault(c, [])
+        while True:
+            if j in self._pending:
+                msg = self._pending.pop(j)
+            else:
+                msg = self._try_recv(j)
+                if msg is self._DEAD:
+                    return "dead"
+                if msg is None:
+                    return "pending"
+            if msg[0] == "spec":
+                continue
+            _, agent_id, status, state, reward = msg
+            buf.append((c * self.n_agents + agent_id, status, state,
+                        reward))
+            if status in (INIT, CONT) and agent_id == self.n_agents - 1:
+                return "complete"
+
+    def _drain_member_nb(self, j: int) -> str:
+        """dist-agent non-root member, nonblocking drain of duplicate
+        messages. -> 'complete' | 'pending' | 'dead'."""
+        while True:
+            if j in self._pending:
+                msg = self._pending.pop(j)
+            else:
+                msg = self._try_recv(j)
+                if msg is self._DEAD:
+                    return "dead"
+                if msg is None:
+                    return "pending"
+            if msg[0] == "spec":
+                continue
+            _, agent_id, status, _, _ = msg
+            if status in (INIT, CONT) and agent_id == self.n_agents - 1:
+                return "complete"
+
+    def _team_channels(self, t: int):
+        return [t] if self.dist_agents else \
+            list(range(t * self.n_members, (t + 1) * self.n_members))
+
+    def _fail_and_respawn(self, t: int, events):
+        """Crash path for poll_states: drop the team's buffered partial
+        rounds, emit FAIL records, respawn (Agent.h:83-86)."""
+        M = self.n_members
+        for c in self._team_channels(t):
+            self._chan_events.pop(c, None)
+            self._chan_complete.discard(c)
+        for j in range(t * M, (t + 1) * M):
+            self._drained.discard(j)
+            self._pending.pop(j, None)
+        self._fail_team(t, events)
+        self._handle_death(t)
+
+    def poll_states(self, timeout: float = 0.05):
+        """Event-driven serving round (Master::waitForStateActionCallers,
+        Core/Master.cpp:118-144): round-robin nonblocking receives;
+        return the buffered events of every channel whose serving round
+        is complete RIGHT NOW — one slow env does not rate-limit the
+        rest (unlike gather_states' lockstep round). Channels with
+        partially-received rounds keep them buffered for later polls.
+
+        Returns (events, ready_lanes): `events` the ordered
+        (lane, status, state, reward) records of ready channels plus
+        FAIL records of crashed teams; `ready_lanes` the lanes owing an
+        action reply. If nothing is ready, blocks up to `timeout` for
+        the first readable channel and retries once."""
+        if not hasattr(self, "_chan_events"):
+            self._chan_events = {}
+            self._chan_complete = set()
+            self._drained = set()
+        M = self.n_members
+        deadline = time.monotonic() + timeout
+        events: list = []
+        while True:
+            dead_teams = []
+            for t in range(self.n_envs):
+                for c in self._team_channels(t):
+                    if c in self._chan_complete:
+                        continue
+                    st = self._pump_channel_nb(c)
+                    if st == "dead":
+                        dead_teams.append(t)
+                        break
+                    if st == "complete":
+                        self._chan_complete.add(c)
+                if (self.dist_agents and M > 1 and t not in dead_teams
+                        and t in self._chan_complete):
+                    for j in range(t * M + 1, (t + 1) * M):
+                        if j in self._drained:
+                            continue
+                        st = self._drain_member_nb(j)
+                        if st == "dead":
+                            dead_teams.append(t)
+                            break
+                        if st == "complete":
+                            self._drained.add(j)
+            for t in dead_teams:
+                self._fail_and_respawn(t, events)
+            ready_lanes: list = []
+            for c in sorted(self._chan_complete):
+                if self.dist_agents and M > 1:
+                    if not all(j in self._drained
+                               for j in range(c * M + 1, (c + 1) * M)):
+                        continue
+                    for j in range(c * M + 1, (c + 1) * M):
+                        self._drained.discard(j)
+                events.extend(self._chan_events.pop(c, []))
+                self._chan_complete.discard(c)
+                ready_lanes.extend(range(c * self.n_agents,
+                                         (c + 1) * self.n_agents))
+            if events or ready_lanes:
+                return events, ready_lanes
+            left = deadline - time.monotonic()
+            if left <= 0:
+                return events, ready_lanes
+            alive = [conn for conn in self._conns if conn is not None]
+            try:
+                _conn_wait(alive, timeout=left)
+            except OSError:
+                pass
+
     def gather_states(self):
         """Collect, per lane, messages until each lane has a pending
         action request (INIT/CONT) — TERM/LAST messages are returned as
@@ -355,9 +505,11 @@ class EnvPool:
         return events, states, rewards, statuses
 
     def send_actions(self, env_actions: np.ndarray):
-        """Reply one action per lane (lane-major order). When agents are
-        distributed across a team, every member gets the same replies
-        (action MPI_Bcast analog, Worker.cpp:371-383)."""
+        """Reply one action per lane (lane-major order); a None entry
+        skips that lane (event-driven partial rounds reply only to ready
+        lanes). When agents are distributed across a team, every member
+        gets the same replies (action MPI_Bcast analog,
+        Worker.cpp:371-383)."""
         for c in range(self.n_channels):
             j = self._member_of_channel(c)
             if self.dist_agents and self.n_members > 1:
@@ -367,6 +519,8 @@ class EnvPool:
                 conns = [self._conns[j]]
             for a in range(self.n_agents):
                 lane = c * self.n_agents + a
+                if env_actions[lane] is None:
+                    continue
                 for conn in conns:
                     try:
                         conn.send(env_actions[lane])

@@ -205,3 +205,101 @@ class TestFailHandling:
         # env (and the respawned one) were stored
         assert e.n_grad_steps >= 5
         assert int(e.replay.n_stored_eps()) > 0
+
+
+# ---------------------------------------------------------------------------
+class TestR3Parity:
+    def test_eval_cli_flags(self):
+        """--nEvalEpisodes / --bTrain parse to eval mode with restart
+        defaulting to run_dir (ExecutionInfo.cpp:95-170, Engine.cpp:92-95)."""
+        e = smarties_tpu.Engine(["prog", "--nEvalEpisodes", "7",
+                                 "--runDir", "/tmp/rd"])
+        assert not e.parse()
+        assert e.cfg.bTrain == 0
+        assert e.n_eval_episodes == 7
+        assert e.restart_path == os.path.join("/tmp/rd", "checkpoint.pkl")
+        e2 = smarties_tpu.Engine(["prog", "--bTrain", "0",
+                                  "--restart", "/tmp/x.pkl"])
+        assert not e2.parse()
+        assert e2.cfg.bTrain == 0 and e2.restart_path == "/tmp/x.pkl"
+        e3 = smarties_tpu.Engine(["prog"])
+        assert not e3.parse()
+        assert e3.cfg.bTrain == 1
+
+    def test_state_scales_seed_standardization(self):
+        """setStateScales seeds state_mean/std until online stats warm up
+        (Communicator.cpp:98-122)."""
+        from smarties_tpu.runtime.communicator import spec_to_mdp
+        from smarties_tpu.runtime.engine import _LearnerBundle
+        spec = {"dim_state": 3, "dim_action": 1, "bounded": (True,),
+                "upper": (1.0,), "lower": (-1.0,), "discrete_values": (),
+                "observable": (True, False, True), "n_agents": 1,
+                "n_appended_obs": 0, "agent_overrides": {},
+                "different_mdps": False,
+                "state_upper": (2.0, 9.0, 4.0),
+                "state_lower": (-2.0, -9.0, 0.0)}
+        mdp = spec_to_mdp(spec)
+        b = _LearnerBundle(0, mdp, cfg(), [0], 16)
+        np.testing.assert_allclose(np.asarray(b.rs.state_mean),
+                                   [0.0, 2.0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(b.rs.state_std),
+                                   [4.0, 4.0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(b.rs.state_scale),
+                                   [0.25, 0.25], atol=1e-6)
+
+    def test_distributed_agents_mutually_exclusive(self):
+        """Reference die()s on the combination (Communicator.cpp:200-205)."""
+        from smarties_tpu.runtime.communicator import Communicator
+        c = Communicator(conn=None)
+        c.setNumAgents(2)
+        c.agentsDefineDifferentMDP()
+        with pytest.raises(AssertionError):
+            c.envHasDistributedAgents()
+        c2 = Communicator(conn=None)
+        c2.setNumAgents(2)
+        c2.envHasDistributedAgents()
+        with pytest.raises(AssertionError):
+            c2.agentsDefineDifferentMDP()
+
+
+# ---------------------------------------------------------------------------
+class TestPerLearnerSettings:
+    """Per-learner settings_%02u.json + programmatic overrides
+    (AlgoFactory::findSettingsFile, AlgoFactory.cpp:37-58): competing
+    agents may train with DIFFERENT algorithms and recipes."""
+
+    def test_settings_json_and_programmatic(self, tmp_path):
+        import json as _json
+        e = smarties_tpu.Engine([])
+        e.run_dir = str(tmp_path)
+        e.setSettings(cfg())                       # shared default: VRACER
+        with open(tmp_path / "settings_01.json", "w") as f:
+            _json.dump({"learner": "DPG", "batchSize": 16,
+                        "learnrate": 1e-5, "minTotObsNum": 128,
+                        "maxTotObsNum": 1024, "nnLayerSizes": [16, 16]}, f)
+        c0 = e._resolve_learner_cfg(0)
+        c1 = e._resolve_learner_cfg(1)
+        assert c0.learner == "VRACER" and c0.batchSize == 32
+        assert c1.learner == "DPG" and c1.batchSize == 16
+        e.setLearnerSettings(1, cfg(learner="NAF"))
+        assert e._resolve_learner_cfg(1).learner == "NAF"
+
+    def test_mixed_algo_engine_run(self, tmp_path):
+        """Competing app trained end-to-end with DPG on the continuous
+        agent 0 and V-RACER(->RACER-discrete) on agent 1 — the two
+        bundles must run distinct algorithms."""
+        from smarties_tpu.algos.dpg import DPG
+        from smarties_tpu.algos.vracer import VRacer
+        e = smarties_tpu.Engine([])
+        e.setNEnvironments(2)
+        e.setSettings(cfg(minTotObsNum=64, maxTotObsNum=512))
+        e.setLearnerSettings(0, cfg(learner="DPG", minTotObsNum=64,
+                                    maxTotObsNum=512, batchSize=16))
+        e.setNTrainSteps(25)
+        e.setMaxEpisodeLength(64)
+        e.run(competing_app, max_wall_s=120)
+        assert len(e.learners) == 2
+        assert isinstance(e.learners[0].algo, DPG)
+        assert isinstance(e.learners[1].algo, VRacer)
+        assert e.learners[0].n_grad >= 25
+        assert e.learners[1].n_grad >= 25

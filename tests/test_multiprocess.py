@@ -28,19 +28,19 @@ def _free_port():
     return port
 
 
-@pytest.mark.slow
-def test_two_process_sharded_trainer():
+def _run_procs(n_proc: int, local_devices: int):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = \
+        f"--xla_force_host_platform_device_count={local_devices}"
     # the conftest of THIS process forces 8 devices; workers get their own
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, coord, "2", str(pid)],
+        [sys.executable, WORKER, coord, str(n_proc), str(pid)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env=env) for pid in range(2)]
+        env=env) for pid in range(n_proc)]
     outs = []
     for p in procs:
         try:
@@ -53,7 +53,7 @@ def test_two_process_sharded_trainer():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, \
             f"worker {pid} failed:\n{out[-3000:]}"
-    # both processes converged to the SAME replicated parameters and see
+    # every process converged to the SAME replicated parameters and sees
     # the same global replay counters
     results = {}
     for out in outs:
@@ -61,6 +61,20 @@ def test_two_process_sharded_trainer():
             if line.startswith("RESULT"):
                 _, pid, ck, n = line.split()
                 results[int(pid)] = (ck, int(n))
-    assert set(results) == {0, 1}, f"missing results: {outs}"
-    assert results[0] == results[1], \
-        f"process-divergent state: {results}"
+    assert set(results) == set(range(n_proc)), f"missing results: {outs}"
+    for pid in range(1, n_proc):
+        assert results[0] == results[pid], \
+            f"process-divergent state: {results}"
+
+
+@pytest.mark.slow
+def test_two_process_sharded_trainer():
+    _run_procs(2, 4)
+
+
+@pytest.mark.slow
+def test_four_process_sharded_trainer():
+    """4 jax.distributed processes x 2 devices = the same global 8-device
+    mesh: catches coordinator/addressability bugs a 2-process split
+    cannot (per-process device locality differs; r2 VERDICT #10)."""
+    _run_procs(4, 2)
