@@ -4,26 +4,38 @@ Headline: the FUSED actor-learner loop at the reference's obsPerStep=1
 pacing — each cycle is one XLA program doing an env sweep (1024 obs),
 at-ingest Retrace, and the matching 1024 ReF-ER grad steps.
 
-Isolation: every metric runs in its OWN subprocess. On the axon backend
-the first device->host transfer issued after a compiled program has
-executed permanently degrades every later execution in that process to a
-~250-500 us/iteration floor (clean steady state is ~5-12 us/grad-step;
-measured in tools/profile_fresh.py modes train_transfer/act_transfer).
-Each timed phase is therefore transfer-free — blind warmup, train keys
-derived inside the program, deferred episode logs — and results are
-transferred only after the clock stops. This also makes the numbers
-order-independent (VERDICT r1 weak #1): no metric can poison another.
+SINGLE PROCESS, strict transfer discipline. Two measured properties of
+the axon backend dictate the design (probes: tools/profile_fresh.py and
+the r3 canary/wedge experiments):
 
-Metrics (subprocess order; later ones skipped if the budget runs low):
+  1. In-process: the FIRST device->host transfer permanently degrades
+     every later program execution to a fat dispatch floor (measured
+     60 us -> 26 ms per exec after one 8-int canary transfer). So every
+     TIMED phase must run before the process's first transfer.
+  2. Cross-process: after ANY process that touched the chip exits, the
+     next process's transfers HANG until the tunnel claim idles out
+     (~5 min). The r02 capture's "quality0: timeout" + 4 skips was
+     exactly this: each subprocess child hung on its first readback
+     after the previous child exited. Single process = no wedge.
+
+Phase order (timed, transfer-free first):
   fused     headline combined env+grad steps/s (same config as round 1)
-  quality   episodes-to-threshold on cart-pole, reference-default recipe,
-            3 seeds (BASELINE.md primary gate: trailing-20-episode mean
-            NOISY training return >= THRESHOLD, + a separate noise-free
-            32-episode eval proving the deterministic policy)
   steady    decoupled rollout throughput + standalone 100-step jitted
-            train chunk (one child, both timed before any transfer)
-  atari     Atari-scale RACER train step (batch 128, Mnih 84x84x4 conv ->
-            512 dense, uint8 replay) + achieved TFLOP/s + MFU estimate
+            train chunk (same trainer, still transfer-free)
+  atari     Atari-scale RACER train step (batch 128, Mnih 84x84x4 conv
+            -> 512 dense, uint8 replay, bf16 MXU path) + TFLOP/s + MFU
+  quality   [transfers allowed from here] episodes-to-threshold on
+            cart-pole, reference-default recipe, up to 3 seeds
+            (BASELINE.md primary gate: trailing-20-episode mean NOISY
+            training return >= THRESHOLD, + a separate noise-free
+            32-episode eval proving the deterministic policy). Chunked
+            macro-scan sized by the remaining budget: always emits at
+            least a partial curve.
+
+The XLA compile cache persists in .jax_cache/ (shared across bench
+invocations — the driver's run hits the cache this session warmed); the
+process re-execs itself once to set the cache env vars before
+sitecustomize imports jax.
 
 vs_baseline is reported against this framework's round-1 capture
 (BENCH_r01.json headline 3968.3 env-steps/s == 1.0); the reference
@@ -34,7 +46,6 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 import json
 import os
 import signal
-import subprocess
 import sys
 import time
 
@@ -43,16 +54,44 @@ R01_HEADLINE = 3968.3
 # quality gate: trailing-TRAIL-episode mean of NOISY training returns
 # (explNoise 0.447 caps those near ~250 on cart-pole even when the
 # deterministic policy scores 500/500 — "balancing under noise");
-# the deterministic claim is proven by the separate noise-free eval.
+# the deterministic claim is proven by the separate noise-free eval,
+# and the observed ceiling is emitted as noisy_return_ceiling.
 THRESHOLD, TRAIL = 150.0, 20
 
 # bf16 peak FLOP/s per chip by device-kind substring (MFU denominator)
 PEAKS = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
          "v4": 275e12, "v6": 918e12}
 
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+
+
+class _Terminated(Exception):
+    """Raised in the main thread on SIGTERM: emit the partial capture
+    before exiting (never leave the driver with an empty stdout)."""
+
+
+def _on_sigterm(signum, frame):
+    raise _Terminated()
+
+
+def _reexec_with_cache_env():
+    """Set the persistent-compile-cache env vars and re-exec once:
+    sitecustomize imports jax at interpreter start, so the vars must be
+    in the process environment before python begins."""
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    env = dict(os.environ,
+               JAX_COMPILATION_CACHE_DIR=CACHE_DIR,
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
+               JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0")
+    os.execve(sys.executable,
+              [sys.executable] + [os.path.abspath(sys.argv[0])]
+              + sys.argv[1:], env)
+
 
 # ======================================================================
-# child metrics (each runs in a fresh process)
+# phases
 # ======================================================================
 
 def _build_trainer(seed=0):
@@ -68,7 +107,9 @@ def _build_trainer(seed=0):
     return tr
 
 
-def metric_fused(budget):
+def phase_fused(budget):
+    """Headline. Returns (trainer, result) — the trainer is reused by
+    the steady phase. NO device->host transfer happens in here."""
     import jax
     tr = _build_trainer()
     tr.warmup(chunk=16, blind_sweeps=16)           # transfer-free warmup
@@ -77,156 +118,22 @@ def metric_fused(budget):
     g0, e0 = tr.n_grad_steps, tr.n_env_steps
     t0 = time.perf_counter()
     tr.train_fused(64 * 1024, log_every=10 ** 9, flush=False,
-                   max_wall_s=max(10.0, budget - 10))
+                   max_wall_s=max(10.0, budget))
     jax.block_until_ready(tr.params)
     dt = time.perf_counter() - t0
-    return {"combined_env_steps_per_s": round((tr.n_env_steps - e0) / dt, 1),
-            "combined_grad_steps_per_s":
-                round((tr.n_grad_steps - g0) / dt, 1),
-            "device": str(jax.devices()[0])}
+    tr._pending_logs.clear()    # deferred device logs: not needed
+    return tr, {
+        "combined_env_steps_per_s": round((tr.n_env_steps - e0) / dt, 1),
+        "combined_grad_steps_per_s":
+            round((tr.n_grad_steps - g0) / dt, 1),
+        "device": str(jax.devices()[0])}
 
 
-def metric_quality(seed, budget):
-    """Episodes until the trailing-TRAIL-episode mean return crosses
-    THRESHOLD (BASELINE.md primary gate). Reference-default recipe except
-    minTotObsNum 131072->65536 (the 4096-slot ring cannot hold 131k obs
-    of short random-policy warmup episodes).
-
-    Budget handling (r2 VERDICT #1 / ADVICE #1): the curve tracker runs
-    ON DEVICE inside a jitted macro-scan of fused cycles, but the scan is
-    CHUNKED — KC cycles per program execution with a host wall-clock
-    check between chunks — so the child always emits a result: a full
-    256-cycle run when the budget allows, otherwise a partial curve
-    tagged "partial": true. The per-chunk device->host transfer is one
-    small [KC,3] curve; the post-transfer dispatch floor (~0.3 ms/exec,
-    tools/profile_fresh.py) is paid once per KC*1024 grad steps, which
-    is noise. Episodes-to-threshold is computed host-side from the
-    curve; THRESHOLD applies to NOISY training returns (explNoise 0.447
-    caps those well below the deterministic 500 — at the noise ceiling
-    the policy is balancing); the observed ceiling is emitted as
-    noisy_return_ceiling so the 150 gate's headroom is evidenced in the
-    capture. The deterministic-policy claim is separately proven by a
-    32-episode noise-free eval AFTER the clock stops (skipped, and
-    marked so, if the remaining budget cannot absorb its compile)."""
+def phase_steady(tr):
+    """Decoupled-loop throughputs on the fused trainer: rollout
+    (acting + ingest) and a standalone 100-step jitted train chunk.
+    Still transfer-free."""
     import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from jax import lax
-    t_child0 = time.perf_counter()
-    res = {"seed": seed, "stage": "build"}
-    try:
-        tr = _build_trainer(seed)
-        tr.cfg.minTotObsNum = tr.n_obs_b4_start = 65536
-        res["build_s"] = round(time.perf_counter() - t_child0, 1)
-        res["stage"] = "warmup"
-        tr.warmup(chunk=16, blind_sweeps=65536 // 1024)
-        res["warmup_s"] = round(
-            time.perf_counter() - t_child0 - res["build_s"], 1)
-    except _Terminated:
-        res.update(partial=True, terminated_in=res["stage"])
-        return res
-    n_train = tr.n_envs                  # obsPerStep == 1 pacing
-    K = 256                              # <= 262144 grad steps
-    KC = 16                              # cycles per jitted chunk
-    TOPK = 128                           # max episode completions/sweep
-
-    def fold(trk, done, ret):
-        # completed lanes first; at most TOPK completions per 1-step
-        # sweep; completions beyond TOPK are counted in the overflow
-        # output instead of silently dropped (no-silent-caps rule)
-        order = jnp.argsort(~done)
-        d, r = done[order][:TOPK], ret[order][:TOPK]
-        ovf = jnp.maximum(done.sum() - TOPK, 0)
-
-        def push(t, dr):
-            ring, cnt = t
-            dd, rr = dr
-            ring2 = jnp.where(dd, ring.at[cnt % TRAIL].set(rr), ring)
-            return (ring2, cnt + dd.astype(jnp.int32)), None
-
-        return lax.scan(push, trk, (d, r))[0], ovf
-
-    def macro(params, opt, carry, trk, base):
-        def body(c, i):
-            p, o, cr, t = c
-            p, o, cr, _ms, logs = tr._fused_cycle(p, o, cr, 1, n_train)
-            done, _length, ret = logs[0], logs[1], logs[2]
-            t, ovf = fold(t, done.reshape(-1), ret.reshape(-1))
-            # the reference's every-1000-grad-steps replay refresh
-            # (cadence == once per 1024-step cycle, like train_fused)
-            cr = cr._replace(replay=tr._refresh(
-                cr.replay, (base + i + 1.0) * n_train))
-            return (p, o, cr, t), (t[1], t[0].mean(), ovf)
-
-        return lax.scan(body, (params, opt, carry, trk),
-                        jnp.arange(KC, dtype=jnp.float32))
-
-    jm = jax.jit(macro)
-    trk = (jnp.zeros(TRAIL), jnp.zeros((), jnp.int32))
-    p, o, carry = tr.params, tr.opt_state, tr.carry
-    cnts_all, means_all, overflow = [], [], 0
-    cycles = 0
-    res["stage"] = "train"
-    deadline = budget - 15.0   # room to emit json; eval gated separately
-    try:
-        while cycles < K:
-            (p, o, carry, trk), (cnts, means, ovf) = jm(
-                p, o, carry, trk, float(cycles))
-            jax.block_until_ready(cnts)
-            if cycles == 0:
-                res["first_chunk_s"] = round(
-                    time.perf_counter() - t_child0
-                    - res["build_s"] - res["warmup_s"], 1)
-            cycles += KC
-            cnts_all.append(np.asarray(cnts))
-            means_all.append(np.asarray(means))
-            overflow += int(np.asarray(ovf).sum())
-            if time.perf_counter() - t_child0 > deadline:
-                break
-    except _Terminated:
-        pass     # parent slice ended: report the curve so far
-    if not cnts_all:
-        res.update(partial=True, terminated_in="first_chunk")
-        return res
-    tr.params, tr.opt_state, tr.carry = p, o, carry   # for the eval below
-    cnts = np.concatenate(cnts_all)
-    means = np.concatenate(means_all)
-    ok = (cnts >= TRAIL) & (means >= THRESHOLD)
-    ep = int(cnts[np.argmax(ok)]) if ok.any() else None
-    res.pop("stage")
-    res.update({
-        "episodes_to_threshold": ep,
-        "episodes_total": int(cnts[-1]),
-        "grad_steps": cycles * n_train, "env_steps": cycles * tr.n_envs,
-        "final_trail_mean": round(float(means[-1]), 1)
-        if cnts[-1] >= TRAIL else None,
-        "noisy_return_ceiling": round(float(means.max()), 1),
-        "tracker_overflow_episodes": overflow,
-        "curve_every_cycle": [[int(c), round(float(m), 1)]
-                              for c, m in zip(cnts[::16], means[::16])]})
-    if cycles < K:
-        res["partial"] = True     # budget ran out; curve above is real
-    # deterministic-policy proof (transfers now; the clock is done).
-    # The eval program is one more cold compile — skip it (and say so)
-    # if the remaining budget can't absorb that.
-    if budget - (time.perf_counter() - t_child0) > 45.0:
-        try:
-            ev = tr.evaluate(32)
-            res["eval_mean_deterministic"] = round(float(np.mean(ev)), 1)
-        except _Terminated:
-            res["eval_skipped_for_budget"] = True
-    else:
-        res["eval_skipped_for_budget"] = True
-    return res
-
-
-def metric_steady(budget):
-    """Decoupled-loop throughputs, one child: rollout (acting + ingest)
-    then a standalone 100-step jitted train chunk. Both phases are timed
-    BEFORE any device->host transfer so neither poisons the other."""
-    import jax
-    tr = _build_trainer()
-    tr.warmup(chunk=16, blind_sweeps=16)   # compiles the 16-sweep roll
     key = jax.random.PRNGKey(1)
     out = tr._train_chunk(tr.params, tr.opt_state, tr.carry.replay, key,
                           100)                       # compile train chunk
@@ -242,14 +149,17 @@ def metric_steady(budget):
                               key, 100)
     jax.block_until_ready(out)
     dt_train = time.perf_counter() - t0
+    tr._pending_logs.clear()
     return {"rollout_env_steps_per_s": round(8 * 16 * 1024 / dt_roll, 1),
             "train_chunk_grad_steps_per_s": round(500 / dt_train, 1)}
 
 
-def metric_atari(budget):
+def phase_atari():
     """Atari-scale RACER train step (reference RACER_atari.json recipe:
     batch 128, layers [512], conv preprocessing; Mnih et al. 84x84x4
-    stack), uint8 image replay, full ReF-ER pipeline on synthetic data."""
+    stack), uint8 image replay, full ReF-ER pipeline on synthetic data,
+    bf16 MXU contractions (cfg.nnBf16). Still transfer-free (the FLOPs
+    come from compiled-module cost analysis, not from device reads)."""
     import jax
     import jax.numpy as jnp
     from smarties_tpu.algos.vracer import VRacer
@@ -263,7 +173,8 @@ def metric_atari(budget):
                                (20, 20, 32, 64, 4, 2),
                                (9, 9, 64, 64, 3, 1)))
     cfg = HyperParameters(batchSize=128, nnLayerSizes=[512], gamma=0.99,
-                          minTotObsNum=16384, maxTotObsNum=262144)
+                          minTotObsNum=16384, maxTotObsNum=262144,
+                          nnBf16=True)
     algo = VRacer(mdp, cfg)   # discrete -> RACER rewrite
     params, opt = algo.init(jax.random.PRNGKey(0))
     E, L = 512, 128
@@ -318,125 +229,196 @@ def metric_atari(budget):
     return res
 
 
-# ======================================================================
-# parent: sequential subprocess per metric, one JSON line out
-# ======================================================================
+def phase_quality(seed, budget):
+    """Episodes until the trailing-TRAIL-episode mean return crosses
+    THRESHOLD (BASELINE.md primary gate). Reference-default recipe
+    except minTotObsNum 131072->65536 (the 4096-slot ring cannot hold
+    131k obs of short random-policy warmup episodes).
 
-CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache")
+    Runs AFTER all timed phases: device->host transfers are allowed
+    (they poison only dispatch latency, which this phase does not
+    measure). The curve tracker runs on device inside a jitted
+    macro-scan, chunked KC cycles per program execution with a host
+    wall-clock check between chunks — a shrinking budget degrades the
+    result to a partial curve instead of nothing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+    t_q0 = time.perf_counter()
+    res = {"seed": seed}
+    tr = _build_trainer(seed)
+    tr.cfg.minTotObsNum = tr.n_obs_b4_start = 65536
+    tr.warmup(chunk=16, blind_sweeps=65536 // 1024)
+    n_train = tr.n_envs                  # obsPerStep == 1 pacing
+    K = 256                              # <= 262144 grad steps
+    KC = 16                              # cycles per jitted chunk
+    TOPK = 128                           # max episode completions/sweep
 
+    def fold(trk, done, ret):
+        # completed lanes first; at most TOPK completions per 1-step
+        # sweep; completions beyond TOPK are counted in the overflow
+        # output instead of silently dropped (no-silent-caps rule)
+        order = jnp.argsort(~done)
+        d, r = done[order][:TOPK], ret[order][:TOPK]
+        ovf = jnp.maximum(done.sum() - TOPK, 0)
 
-class _Terminated(Exception):
-    """Raised in the child's main thread on SIGTERM: the parent slice is
-    over — emit whatever partial result exists (never SIGKILL a
-    TPU-attached process first: a hard kill wedges the device-tunnel
-    claim for minutes and poisons every later child, which is what
-    cascaded the r02 capture from one timeout into four skips)."""
+        def push(t, dr):
+            ring, cnt = t
+            dd, rr = dr
+            ring2 = jnp.where(dd, ring.at[cnt % TRAIL].set(rr), ring)
+            return (ring2, cnt + dd.astype(jnp.int32)), None
 
+        return lax.scan(push, trk, (d, r))[0], ovf
 
-def _on_sigterm(signum, frame):
-    raise _Terminated()
+    def macro(params, opt, carry, trk, base):
+        def body(c, i):
+            p, o, cr, t = c
+            p, o, cr, _ms, logs = tr._fused_cycle(p, o, cr, 1, n_train)
+            done, _length, ret = logs[0], logs[1], logs[2]
+            t, ovf = fold(t, done.reshape(-1), ret.reshape(-1))
+            # the reference's every-1000-grad-steps replay refresh
+            # (cadence == once per 1024-step cycle, like train_fused)
+            cr = cr._replace(replay=tr._refresh(
+                cr.replay, (base + i + 1.0) * n_train))
+            return (p, o, cr, t), (t[1], t[0].mean(), ovf)
 
+        return lax.scan(body, (params, opt, carry, trk),
+                        jnp.arange(KC, dtype=jnp.float32))
 
-def run_child(metric, budget):
-    # persistent XLA compile cache shared across children (and across
-    # bench invocations): the children are compile-bound through the
-    # remote-compile tunnel, so warm cache entries are what lets all
-    # metrics fit the driver budget (r2 VERDICT #1).
-    env = dict(os.environ, BENCH_CHILD_BUDGET=str(budget),
-               JAX_COMPILATION_CACHE_DIR=os.environ.get(
-                   "JAX_COMPILATION_CACHE_DIR", CACHE_DIR),
-               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
-               JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0")
-    t0 = time.time()
-    p = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--metric", metric],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+    jm = jax.jit(macro)
+    trk = (jnp.zeros(TRAIL), jnp.zeros((), jnp.int32))
+    p, o, carry = tr.params, tr.opt_state, tr.carry
+    cnts_all, means_all, overflow = [], [], 0
+    cycles = 0
+    deadline = budget - 10.0
     try:
-        out, err = p.communicate(timeout=budget + 60)
-    except subprocess.TimeoutExpired:
-        p.terminate()     # graceful: child catches SIGTERM, dumps partial
+        while cycles < K:
+            (p, o, carry, trk), (cnts, means, ovf) = jm(
+                p, o, carry, trk, float(cycles))
+            jax.block_until_ready(cnts)
+            cycles += KC
+            cnts_all.append(np.asarray(cnts))
+            means_all.append(np.asarray(means))
+            overflow += int(np.asarray(ovf).sum())
+            if time.perf_counter() - t_q0 > deadline:
+                break
+    except _Terminated:
+        pass     # emit the curve collected so far
+    if not cnts_all:
+        return dict(res, partial=True, terminated_in="first_chunk")
+    tr.params, tr.opt_state, tr.carry = p, o, carry   # for the eval below
+    cnts = np.concatenate(cnts_all)
+    means = np.concatenate(means_all)
+    ok = (cnts >= TRAIL) & (means >= THRESHOLD)
+    ep = int(cnts[np.argmax(ok)]) if ok.any() else None
+    res.update({
+        "episodes_to_threshold": ep,
+        "episodes_total": int(cnts[-1]),
+        "grad_steps": cycles * n_train, "env_steps": cycles * tr.n_envs,
+        "final_trail_mean": round(float(means[-1]), 1)
+        if cnts[-1] >= TRAIL else None,
+        "noisy_return_ceiling": round(float(means.max()), 1),
+        "tracker_overflow_episodes": overflow,
+        "curve_every_cycle": [[int(c), round(float(m), 1)]
+                              for c, m in zip(cnts[::16], means[::16])]})
+    if cycles < K:
+        res["partial"] = True     # budget ran out; curve above is real
+    # deterministic-policy proof (32-episode noise-free eval)
+    if budget - (time.perf_counter() - t_q0) > 30.0:
         try:
-            out, err = p.communicate(timeout=30)
-        except subprocess.TimeoutExpired:   # wedged in native code
-            p.kill()
-            try:
-                out, err = p.communicate(timeout=10)
-            except subprocess.TimeoutExpired:
-                out, err = "", ""
-            time.sleep(30)   # let the tunnel claim recover before the
-            #                  next child (hard kills wedge it)
-    wall = round(time.time() - t0, 1)
-    for line in reversed((out or "").strip().splitlines()):
-        try:
-            return dict(json.loads(line), child_wall_s=wall)
-        except ValueError:
-            continue
-    return {"error": f"{metric}: rc={p.returncode} wall={wall}s "
-                     f"{(err or '')[-300:]}"}
-
-
-def child_main(metric):
-    budget = float(os.environ.get("BENCH_CHILD_BUDGET", 120.0))
-    signal.signal(signal.SIGTERM, _on_sigterm)
-    if metric.startswith("quality"):
-        out = metric_quality(int(metric[-1]), budget)
-    else:
-        try:
-            out = {"fused": metric_fused, "steady": metric_steady,
-                   "atari": metric_atari}[metric](budget)
+            ev = tr.evaluate(32)
+            res["eval_mean_deterministic"] = round(float(np.mean(ev)), 1)
         except _Terminated:
-            out = {"error": f"{metric}: terminated at slice end"}
-    print(json.dumps(out), flush=True)
+            res["eval_skipped_for_budget"] = True
+    else:
+        res["eval_skipped_for_budget"] = True
+    return res
 
+
+def _transfer_canary(max_wait: float):
+    """First device->host transfer of the process, in a daemon thread
+    with a bounded wait: if another TPU process exited recently, the
+    tunnel's transfer path hangs until its claim idles out (~5 min,
+    measured r3). Returns (ok, seconds_waited); on timeout the blocked
+    thread is abandoned (daemon) so the process can still emit output."""
+    import threading
+    import numpy as np
+    import jax.numpy as jnp
+    done = threading.Event()
+
+    def work():
+        np.asarray(jnp.arange(8) * 3)
+        done.set()
+
+    t0 = time.perf_counter()
+    threading.Thread(target=work, daemon=True).start()
+    done.wait(timeout=max(1.0, max_wait))
+    return done.is_set(), round(time.perf_counter() - t0, 1)
+
+
+# ======================================================================
+# main: one process, phases in transfer-discipline order
+# ======================================================================
 
 def main():
+    _reexec_with_cache_env()
+    signal.signal(signal.SIGTERM, _on_sigterm)
     t_start = time.time()
 
     def left():
         return BUDGET_S - (time.time() - t_start)
 
     extras = {"n_envs": 1024, "batch_size": 256}
-    errors, skipped, etts = [], [], []
+    errors, skipped = [], []
+    etts = []
+    value = 0.0
+    try:
+        # ---- timed phases: NO device->host transfer above this line ----
+        try:
+            tr, head = phase_fused(min(60.0, max(15.0, left() / 6)))
+            extras.update(head)
+            value = head.get("combined_env_steps_per_s", 0.0)
+        except _Terminated:
+            raise
+        except Exception as e:
+            errors.append(f"fused: {e!r}"[:300])
+            tr = None
 
-    def quality_child(s, budget):
-        q = run_child(f"quality{s}", budget)
-        if "error" in q:
-            errors.append(q["error"])
+        if tr is not None and left() > 30:
+            try:
+                extras.update(phase_steady(tr))
+            except Exception as e:
+                errors.append(f"steady: {e!r}"[:300])
+        elif tr is None or left() <= 30:
+            skipped.append("steady")
+
+        if left() > 60:
+            try:
+                extras.update(phase_atari())
+            except Exception as e:
+                errors.append(f"atari: {e!r}"[:300])
         else:
-            etts.append(q)
+            skipped.append("atari")
 
-    # breadth first: headline, one quality seed (primary gate), the
-    # decoupled throughputs, Atari scale; extra quality seeds take
-    # whatever budget is left. Children are mostly compile-bound
-    # (~2-4 min each through the remote-compile tunnel).
-    head = run_child("fused", min(180.0, left()))
-    if "error" in head:
-        errors.append(head["error"])
-        head = {}
-    extras.update(head)
-    value = head.get("combined_env_steps_per_s", 0.0)
-
-    if left() > 60:
-        quality_child(0, min(260.0, max(60.0, left() - 30)))
-    else:
-        skipped.append("quality0")
-
-    for m, t in (("steady", 80.0), ("atari", 150.0)):
-        if left() < t + 20:
-            skipped.append(m)
-            continue
-        r = run_child(m, t)
-        if "error" in r:
-            errors.append(r["error"])
+        # ---- transfers allowed from here (dispatch floor accepted) ----
+        del tr
+        ok, waited = _transfer_canary(min(max(0.0, left() - 90), 330.0))
+        extras["transfer_canary_s"] = waited
+        if not ok:
+            extras["transfer_wedged"] = True
+            skipped += ["quality0", "quality1", "quality2"]
         else:
-            extras.update(r)
-
-    for s in (1, 2):
-        if left() < 90:
-            skipped.append(f"quality{s}")
-            continue
-        quality_child(s, min(260.0, max(60.0, left() - 30)))
+            for seed in (0, 1, 2):
+                if left() < 60:
+                    skipped.append(f"quality{seed}")
+                    continue
+                try:
+                    etts.append(phase_quality(seed, left() - 15))
+                except Exception as e:
+                    errors.append(f"quality{seed}: {e!r}"[:300])
+    except _Terminated:
+        errors.append("terminated before completion (partial capture)")
 
     if etts:
         vals = [q.get("episodes_to_threshold") for q in etts]
@@ -446,6 +428,7 @@ def main():
             ok[len(ok) // 2] if ok else None)
         extras["quality_detail"] = etts
 
+    extras["wall_s"] = round(time.time() - t_start, 1)
     if errors:
         extras["errors"] = errors
     if skipped:   # no silent caps: say what the budget dropped
@@ -460,7 +443,4 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[1] == "--metric":
-        child_main(sys.argv[2])
-    else:
-        main()
+    main()

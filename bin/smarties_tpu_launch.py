@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 BUILTIN_ENVS = {"cartpole", "cartpole_discrete", "pendulum",
-                "predator_prey", "glider"}
+                "predator_prey", "glider", "catch", "acrobot",
+                "mountaincar"}
 
 
 def main():
@@ -80,14 +81,18 @@ def main():
             pass
 
     if args.app in BUILTIN_ENVS:
-        from smarties_tpu.envs import (cartpole, glider, pendulum,
+        from smarties_tpu.envs import (acrobot, cartpole, catch,
+                                       glider, mountaincar, pendulum,
                                        predator_prey)
         from smarties_tpu.runtime.trainer import Trainer
         env = {"cartpole": cartpole,
                "cartpole_discrete": cartpole.discrete,
                "pendulum": pendulum,
                "predator_prey": predator_prey,
-               "glider": glider}[args.app]
+               "glider": glider,
+               "catch": catch,
+               "acrobot": acrobot,
+               "mountaincar": mountaincar}[args.app]
         mesh = None
         if args.nLearners > 1:
             from smarties_tpu.parallel.mesh import make_mesh
@@ -97,8 +102,10 @@ def main():
             cma = CMAES(env, env.MDP, cfg, n_envs=args.nEnvironments)
             cma.train(args.nTrainSteps)
             return
+        import jax.numpy as jnp
+        sdt = jnp.uint8 if args.app == "catch" else None
         tr = Trainer(env, env.MDP, cfg, n_envs=args.nEnvironments,
-                     run_dir=run_dir, mesh=mesh,
+                     run_dir=run_dir, mesh=mesh, state_dtype=sdt,
                      max_len=min(args.maxEpisodeLength, env.MAX_STEPS),
                      obs_log=args.logAllSamples)
         tr.train(args.nTrainSteps)

@@ -140,6 +140,19 @@ void Communicator::set_num_appended_past_observations(int n) {
   spec_fields_ += (spec_fields_.empty() ? "" : ",") + os.str();
 }
 
+void Communicator::set_team(int env_id, int rank, int nranks) {
+  std::ostringstream os;
+  os << "\"env_id\":" << env_id << ",\"team_rank\":" << rank
+     << ",\"team_size\":" << nranks;
+  spec_fields_ += (spec_fields_.empty() ? "" : ",") + os.str();
+  team_set_ = true;
+}
+
+void Communicator::env_has_distributed_agents() {
+  spec_fields_ += (spec_fields_.empty() ? "" : ",") +
+                  std::string("\"distributed_agents\":true");
+}
+
 void Communicator::set_preprocessing_conv2d(int in_w, int in_h, int in_c,
                                             int out_c, int filter,
                                             int stride) {
@@ -151,6 +164,18 @@ void Communicator::set_preprocessing_conv2d(int in_w, int in_h, int in_c,
 
 void Communicator::send_spec_once() {
   if (spec_sent_) return;
+  // launcher-provided team identity (SocketEnvPool sets these when
+  // spawning workers_per_env > 1 teams; an MPI app may instead call
+  // set_team with its own MPI rank/size)
+  if (!team_set_) {
+    const char* ts = std::getenv("SMARTIES_TPU_TEAM_SIZE");
+    if (ts) {
+      const char* tr = std::getenv("SMARTIES_TPU_TEAM_RANK");
+      const char* te = std::getenv("SMARTIES_TPU_ENV_ID");
+      set_team(te ? std::atoi(te) : 0, tr ? std::atoi(tr) : 0,
+               std::atoi(ts));
+    }
+  }
   std::string fields = spec_fields_;
   if (!conv_json_.empty())
     fields += (fields.empty() ? "" : ",") +
@@ -242,6 +267,12 @@ void smarties_tpu_set_state_observable(void* c, const int* ob, int d) {
   COMM->set_state_observable(v);
 }
 void smarties_tpu_set_num_agents(void* c, int n) { COMM->set_num_agents(n); }
+void smarties_tpu_set_team(void* c, int env_id, int rank, int nranks) {
+  COMM->set_team(env_id, rank, nranks);
+}
+void smarties_tpu_env_has_distributed_agents(void* c) {
+  COMM->env_has_distributed_agents();
+}
 void smarties_tpu_send_init_state(void* c, const double* s, int d, int a) {
   COMM->send_init_state(std::vector<double>(s, s + d), a);
 }

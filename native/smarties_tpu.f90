@@ -48,6 +48,24 @@ module smarties_tpu
       integer(c_int), value :: dim
     end subroutine
 
+    ! env teams: declare this process as rank of an nranks-process team
+    ! simulating env_id (an MPI app passes its own MPI rank/size);
+    ! reference analog: environment_app_comm (ExecutionInfo.cpp:315-332)
+    subroutine smarties_tpu_set_team(comm, env_id, rank, nranks) &
+        bind(c, name='smarties_tpu_set_team')
+      import c_ptr, c_int
+      type(c_ptr), value :: comm
+      integer(c_int), value :: env_id, rank, nranks
+    end subroutine
+
+    ! same logical agents span the whole team: rank-0 states ingested,
+    ! identical action replies to every rank (Worker.cpp:371-383)
+    subroutine smarties_tpu_env_has_distributed_agents(comm) &
+        bind(c, name='smarties_tpu_env_has_distributed_agents')
+      import c_ptr
+      type(c_ptr), value :: comm
+    end subroutine
+
     subroutine smarties_tpu_send_init_state(comm, state, dim, agent) &
         bind(c, name='smarties_tpu_send_init_state')
       import c_ptr, c_int, c_double

@@ -50,6 +50,24 @@ class Communicator {
   void set_preprocessing_conv2d(int in_w, int in_h, int in_c, int out_c,
                                 int filter, int stride);
 
+  // ---- env teams (multi-process simulations; MPI apps) ----
+  // Declares this process as rank `rank` of an `nranks`-process team
+  // simulating environment `env_id` (an MPI app passes its own
+  // MPI_Comm_rank/size). Each rank opens its OWN socket; the learner
+  // groups them by (env_id, rank). Defaults come from the
+  // SMARTIES_TPU_ENV_ID / SMARTIES_TPU_TEAM_RANK /
+  // SMARTIES_TPU_TEAM_SIZE environment variables (set by the learner's
+  // launcher), so apps spawned by SocketEnvPool need not call this.
+  // Reference analog: the environment_app_comm team
+  // (ExecutionInfo.cpp:315-332, Engine::setNworkersPerEnvironment).
+  void set_team(int env_id, int rank, int nranks);
+  // The SAME logical agents span every rank of the team: all ranks send
+  // identical states, only rank 0's are ingested, and every rank
+  // receives the same action reply — the action MPI_Bcast over
+  // environment_app_comm done by the library instead of the app
+  // (reference Core/Worker.cpp:371-383).
+  void env_has_distributed_agents();
+
   // ---- episode flow ----
   void send_init_state(const std::vector<double>& state, int agent = 0);
   void send_state(const std::vector<double>& state, double reward,
@@ -71,6 +89,7 @@ class Communicator {
 
   int fd_ = -1;
   bool spec_sent_ = false;
+  bool team_set_ = false;
   std::string spec_json_;
   int dim_state_ = -1, dim_action_ = -1;
   std::string spec_fields_;  // accumulated json fields
@@ -96,6 +115,8 @@ void smarties_tpu_set_action_options(void* comm, const int* options,
 void smarties_tpu_set_state_observable(void* comm, const int* observable,
                                        int dim);
 void smarties_tpu_set_num_agents(void* comm, int n_agents);
+void smarties_tpu_set_team(void* comm, int env_id, int rank, int nranks);
+void smarties_tpu_env_has_distributed_agents(void* comm);
 void smarties_tpu_send_init_state(void* comm, const double* state, int dim,
                                   int agent);
 void smarties_tpu_send_state(void* comm, const double* state, int dim,

@@ -74,7 +74,8 @@ class VRacer:
                 n_in=mdp.dim_net_input, hidden=tuple(cfg.nnLayerSizes),
                 conv=tuple(Conv2DDesc(*c) for c in mdp.conv_layers),
                 n_out=1 + self.nL + n_opts, kind=cfg.nnType, act=cfg.nnFunc,
-                out_prefac=cfg.outWeightsPrefac)
+                out_prefac=cfg.outWeightsPrefac,
+                compute_dtype=("bfloat16" if cfg.nnBf16 else "float32"))
         else:
             self.nL = (0 if adv_kind == "zero"
                        else adv_ops.gaussian_n_outputs(nA))
@@ -87,6 +88,7 @@ class VRacer:
                 conv=tuple(Conv2DDesc(*c) for c in mdp.conv_layers),
                 n_out=1 + self.nL + nA, kind=cfg.nnType, act=cfg.nnFunc,
                 out_prefac=cfg.outWeightsPrefac,
+                compute_dtype=("bfloat16" if cfg.nnBf16 else "float32"),
                 n_param_out=nA, param_init=tuple([sig0] * nA),
                 out_bias_init=tuple(bias))
         self.bounded = (None if self.discrete

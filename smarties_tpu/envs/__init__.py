@@ -1,1 +1,2 @@
-from smarties_tpu.envs import cartpole, glider, pendulum, predator_prey
+from smarties_tpu.envs import (acrobot, cartpole, catch, glider,
+                               mountaincar, pendulum, predator_prey)

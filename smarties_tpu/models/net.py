@@ -140,6 +140,12 @@ class NetSpec:
     # conv preprocessing stack applied to the (flattened-image) input
     # before the dense layers (Builder::addConv2d, Conv2Dfactory.h)
     conv: Tuple[Conv2DDesc, ...] = ()
+    # matmul/conv compute dtype: "bfloat16" runs the MXU contractions in
+    # bf16 with f32 accumulation (preferred_element_type) — the TPU-
+    # idiomatic precision for the conv/dense FLOPs (the reference's
+    # nnReal f32/f64 switch, Definitions.h:21-57, maps to this choice);
+    # parameters, activations and reductions stay f32
+    compute_dtype: str = "float32"
 
     @property
     def total_out(self) -> int:
@@ -265,6 +271,16 @@ def apply_net(params: Dict, spec: NetSpec, x, carry=()):
     Batched over leading axes; recurrent carries must share those axes.
     """
     act = _ACTS[spec.act]
+    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+
+    def mm(a, w):
+        """MXU contraction in the compute dtype (the MXU accumulates
+        f32 internally either way); explicit upcast so the VJP recasts
+        cotangents instead of mixing dtypes."""
+        if cdt is None:
+            return a @ w
+        return (a.astype(cdt) @ w.astype(cdt)).astype(jnp.float32)
+
     h = x
     if spec.conv:
         lead = h.shape[:-1]
@@ -274,15 +290,22 @@ def apply_net(params: Dict, spec: NetSpec, x, carry=()):
         h = h.reshape((-1, c0.in_c, c0.in_h, c0.in_w))
         h = jnp.transpose(h, (0, 2, 3, 1))
         for layer, c in zip(params["conv"], spec.conv):
+            w = layer["W"].astype(cdt) if cdt is not None else layer["W"]
+            # NOTE: pure-bf16 conv + explicit upcast (not
+            # preferred_element_type): the conv transpose in the VJP
+            # would otherwise pair an f32 cotangent with bf16 kernels
+            # and fail; the astype's backward recasts the cotangent.
+            # TPU convs accumulate f32 internally either way.
             h = jax.lax.conv_general_dilated(
-                h, layer["W"], (c.stride, c.stride), "VALID",
+                h.astype(cdt) if cdt is not None else h, w,
+                (c.stride, c.stride), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            h = _ACTS["LRelu"](h + layer["b"])
+            h = _ACTS["LRelu"](h.astype(jnp.float32) + layer["b"])
         h = h.reshape(lead + (-1,))
     new_carry = []
     for li, layer in enumerate(params["layers"]):
         if spec.kind == "FFNN":
-            h_new = act(h @ layer["W"] + layer["b"])
+            h_new = act(mm(h, layer["W"]) + layer["b"])
             # residual sum when widths match (ResidualLayer, Layers.h:421)
             if spec.residual and h_new.shape[-1] == h.shape[-1]:
                 h_new = h_new + h
@@ -311,7 +334,8 @@ def apply_net(params: Dict, spec: NetSpec, x, carry=()):
                           + layer["bh"])
             h = (1 - f) * hprev + f * hh
             new_carry.append(h)
-    y = _ACTS[spec.out_act](h @ params["out"]["W"] + params["out"]["b"])
+    y = _ACTS[spec.out_act](mm(h, params["out"]["W"])
+                            + params["out"]["b"])
     if spec.n_param_out:
         p = jnp.broadcast_to(params["param"], y.shape[:-1]
                              + (spec.n_param_out,))

@@ -5,6 +5,17 @@ UNIX-domain socket, spawns (or accepts) N env-app processes, and exposes
 the same gather_states / send_actions interface as the python EnvPool
 (runtime/env_pool.py), so the Engine serves both transports identically.
 
+Env teams (Engine::setNworkersPerEnvironment; SURVEY §2.9 P6): with
+workers_per_env = M each env is a team of M processes, each owning its
+OWN socket. The client's spec carries (env_id, team_rank, team_size) —
+either from Communicator::set_team (an MPI app passes its own MPI
+rank/size) or from the SMARTIES_TPU_ENV_ID/TEAM_RANK/TEAM_SIZE env vars
+this pool sets when it spawns the team. When the app declares
+distributed agents (env_has_distributed_agents), only rank 0's states
+are ingested and every rank receives the same action reply — the
+library-side analog of the reference's action MPI_Bcast over
+environment_app_comm (Core/Worker.cpp:371-383).
+
 This is the analog of the reference's Launcher::forkApplication + SocketsLib
 (Core/Launcher.cpp:28-69, Utils/SocketsLib.h) with this framework's own
 wire protocol (see native/smarties_tpu.h).
@@ -44,47 +55,67 @@ class SocketEnvPool:
     """Drop-in alternative to EnvPool for native apps.
 
     Args:
-      command: argv to launch ONE env app process (launched n_envs times
-               with SMARTIES_TPU_SOCKET set), or None to only accept
-               externally-started clients.
+      command: argv to launch ONE env app process (launched
+               n_envs * workers_per_env times with SMARTIES_TPU_SOCKET
+               and the team-identity env vars set), or None to only
+               accept externally-started clients (e.g. an mpirun whose
+               ranks each call set_team).
+      workers_per_env: team size M per env (env teams / MPI apps).
     """
 
     def __init__(self, command: Optional[Sequence[str]], n_envs: int,
-                 socket_path: Optional[str] = None):
+                 socket_path: Optional[str] = None,
+                 workers_per_env: int = 1):
         self.n_envs = n_envs
+        self.n_members = max(1, int(workers_per_env))
         self.socket_path = socket_path or os.path.join(
             tempfile.mkdtemp(prefix="smarties_tpu_"), "comm.sock")
         self._server = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self._server.bind(self.socket_path)
-        self._server.listen(n_envs)
+        n_procs = n_envs * self.n_members
+        self._server.listen(n_procs)
         self._procs = []
-        env = dict(os.environ, SMARTIES_TPU_SOCKET=self.socket_path)
         if command is not None:
-            for _ in range(n_envs):
-                self._procs.append(subprocess.Popen(list(command), env=env))
-        self._conns: List[socket.socket] = []
-        for _ in range(n_envs):
+            for t in range(n_envs):
+                for m in range(self.n_members):
+                    env = dict(os.environ,
+                               SMARTIES_TPU_SOCKET=self.socket_path,
+                               SMARTIES_TPU_ENV_ID=str(t),
+                               SMARTIES_TPU_TEAM_RANK=str(m),
+                               SMARTIES_TPU_TEAM_SIZE=str(self.n_members))
+                    self._procs.append(
+                        subprocess.Popen(list(command), env=env))
+        self._raw_conns: List[socket.socket] = []
+        for _ in range(n_procs):
             conn, _ = self._server.accept()
-            self._conns.append(conn)
+            self._raw_conns.append(conn)
         self.spec = None
         self.mdp = None
         self.n_agents = 1
-        self._pending = [None] * n_envs
+        self.dist_agents = False
+        self._conns: List[socket.socket] = list(self._raw_conns)
+        self._pending = [None] * n_procs
 
     # ---------------- message parsing ----------------
-    def _recv_msg(self, e: int):
-        conn = self._conns[e]
+    def _recv_raw(self, conn: socket.socket):
         magic, = struct.unpack("<I", _read_exact(conn, 4))
         if magic == MAGIC_SPEC:
             ln, = struct.unpack("<I", _read_exact(conn, 4))
             spec = json.loads(_read_exact(conn, ln).decode())
-            return ("spec", self._normalize_spec(spec))
+            return ("spec", spec)
         if magic == MAGIC_STAT:
-            agent, status, dim = struct.unpack("<III", _read_exact(conn, 12))
+            agent, status, dim = struct.unpack("<III",
+                                               _read_exact(conn, 12))
             state = np.frombuffer(_read_exact(conn, 8 * dim), np.float64)
             reward, = struct.unpack("<d", _read_exact(conn, 8))
             return ("state", agent, status, state.copy(), reward)
-        raise ValueError(f"bad magic {magic:#x} from env {e}")
+        raise ValueError(f"bad magic {magic:#x}")
+
+    def _recv_msg(self, j: int):
+        msg = self._recv_raw(self._conns[j])
+        if msg[0] == "spec":
+            return ("spec", self._normalize_spec(msg[1]))
+        return msg
 
     @staticmethod
     def _normalize_spec(spec: dict) -> dict:
@@ -99,23 +130,81 @@ class SocketEnvPool:
                if "observable" in spec else None,
                "n_agents": spec.get("n_agents", 1),
                "n_appended_obs": spec.get("n_appended_obs", 0),
+               "distributed_agents":
+                   bool(spec.get("distributed_agents", False)),
                "conv_layers": tuple(tuple(c) for c in
                                     spec.get("conv_layers", ()))}
         return out
 
     # ---------------- EnvPool interface ----------------
     def probe_spec(self):
-        kind, spec = self._recv_msg(0)
-        assert kind == "spec", kind
-        self.spec = spec
-        self.mdp = spec_to_mdp(spec)
-        self.n_agents = spec.get("n_agents", 1)
-        self._pending[0] = self._recv_msg(0)
+        """Read every connection's spec message, reorder connections by
+        the declared (env_id, team_rank) — concurrent connects arrive in
+        arbitrary order — and buffer each connection's first state
+        (reference Worker::synchronizeEnvironments broadcast+verify,
+        Worker.cpp:218-297)."""
+        M = self.n_members
+        placed: List[Optional[socket.socket]] = \
+            [None] * (self.n_envs * M)
+        pending = [None] * (self.n_envs * M)
+        unplaced = []
+        for conn in self._raw_conns:
+            kind, raw = self._recv_raw(conn)
+            assert kind == "spec", kind
+            spec = dict(raw)
+            if self.spec is None:
+                self.spec = self._normalize_spec(spec)
+            j = None
+            if "team_rank" in spec or "env_id" in spec:
+                j = (int(spec.get("env_id", 0)) * M
+                     + int(spec.get("team_rank", 0)))
+                if not (0 <= j < len(placed)) or placed[j] is not None:
+                    j = None     # bad/duplicate identity: accept-order
+            if j is None:
+                unplaced.append(conn)
+            else:
+                placed[j] = conn
+        free = iter([i for i, c in enumerate(placed) if c is None])
+        for conn in unplaced:
+            placed[next(free)] = conn
+        self._conns = placed
+        self.mdp = spec_to_mdp(self.spec)
+        self.n_agents = self.spec.get("n_agents", 1)
+        self.dist_agents = bool(self.spec.get("distributed_agents"))
+        self._pending = pending
         return self.mdp
 
     @property
+    def n_channels(self) -> int:
+        """Agent channels: team roots when agents are distributed across
+        the team, else every member."""
+        if self.dist_agents:
+            return self.n_envs
+        return self.n_envs * self.n_members
+
+    @property
     def n_lanes(self) -> int:
-        return self.n_envs * self.n_agents
+        return self.n_channels * self.n_agents
+
+    def _member_of_channel(self, c: int) -> int:
+        return c * self.n_members if self.dist_agents else c
+
+    def _pump(self, j: int, sink):
+        """Receive from member j until its last agent has a pending
+        action request; `sink(agent_id, status, state, reward)` gets
+        every state record (None sink = drain duplicates)."""
+        while True:
+            if self._pending[j] is not None:
+                msg, self._pending[j] = self._pending[j], None
+            else:
+                msg = self._recv_msg(j)
+            if msg[0] == "spec":
+                continue
+            _, agent_id, status, state, reward = msg
+            if sink is not None:
+                sink(agent_id, status, state, reward)
+            if status in (INIT, CONT) and agent_id == self.n_agents - 1:
+                return
 
     def gather_states(self):
         n = self.n_lanes
@@ -123,34 +212,44 @@ class SocketEnvPool:
         rewards = np.zeros(n)
         statuses = np.full(n, -1, np.int64)
         events = []
-        for e in range(self.n_envs):
-            waiting = True
-            while waiting:
-                if self._pending[e] is not None:
-                    msg = self._pending[e]
-                    self._pending[e] = None
-                else:
-                    msg = self._recv_msg(e)
-                if msg[0] == "spec":
-                    continue
-                _, agent_id, status, state, reward = msg
-                lane = e * self.n_agents + agent_id
+        M = self.n_members
+        for c in range(self.n_channels):
+            j = self._member_of_channel(c)
+
+            def sink(agent_id, status, state, reward, c=c):
+                lane = c * self.n_agents + agent_id
                 events.append((lane, status, state, reward))
                 states[lane] = state
                 rewards[lane] = reward
                 statuses[lane] = status
-                if status in (INIT, CONT):
-                    waiting = False
+
+            self._pump(j, sink)
+            if self.dist_agents and M > 1:
+                # drain the other ranks' duplicate streams so the team
+                # stays in lockstep with its root (Worker.cpp:371-383)
+                for jj in range(c * M + 1, (c + 1) * M):
+                    self._pump(jj, None)
         return events, states, rewards, statuses
 
     def send_actions(self, env_actions: np.ndarray):
-        for e in range(self.n_envs):
+        """Reply one action per lane; with distributed agents every team
+        member receives the same replies (the action MPI_Bcast analog,
+        Core/Worker.cpp:371-383). None entries skip the lane."""
+        M = self.n_members
+        for c in range(self.n_channels):
+            if self.dist_agents and M > 1:
+                conns = self._conns[c * M:(c + 1) * M]
+            else:
+                conns = [self._conns[self._member_of_channel(c)]]
             for a in range(self.n_agents):
-                lane = e * self.n_agents + a
+                lane = c * self.n_agents + a
+                if env_actions[lane] is None:
+                    continue
                 act = np.asarray(env_actions[lane], np.float64).ravel()
                 msg = struct.pack("<II", MAGIC_ACTN, act.size) \
                     + act.tobytes()
-                self._conns[e].sendall(msg)
+                for conn in conns:
+                    conn.sendall(msg)
 
     def kill(self):
         for conn in self._conns:

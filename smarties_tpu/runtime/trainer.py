@@ -33,7 +33,7 @@ class Trainer:
     def __init__(self, env_module, mdp: MDPSpec, cfg: HyperParameters,
                  n_envs: int = 64, n_slots: Optional[int] = None,
                  max_len: int = 512, run_dir: Optional[str] = None,
-                 algo_cls=VRacer, mesh=None, state_dtype=None,
+                 algo_cls=None, mesh=None, state_dtype=None,
                  obs_log: bool = False):
         """mesh: optional jax.sharding.Mesh with a "learners" axis — shards
         the replay (slot axis) and envs (lane axis) across devices with
@@ -68,7 +68,13 @@ class Trainer:
         self._grads_file = (open(os.path.join(
             run_dir, "grads_rank00.raw"), "ab") if run_dir else None)
 
-        self.algo = algo_cls(mdp, cfg)
+        if algo_cls is None:
+            # resolve by the settings string like the reference factory
+            # (AlgoFactory.cpp:60-340); pass algo_cls to force a class
+            from smarties_tpu.algos.registry import make_learner
+            self.algo = make_learner(mdp, cfg)
+        else:
+            self.algo = algo_cls(mdp, cfg)
         key = jax.random.PRNGKey(cfg.randSeed)
         key, k_init, k_env = jax.random.split(key, 3)
         self.key = key

@@ -54,6 +54,11 @@ class HyperParameters:
     nnBPTTseq: int = 16
     nnLambda: float = 0.0              # L2 penalty coefficient
     outWeightsPrefac: float = 0.1      # output-layer init scale factor
+    # TPU-native extension (no reference analog; the reference's nnReal
+    # f32/f64 switch is Definitions.h:21-57): run matmul/conv MXU
+    # contractions in bf16 with f32 accumulation. Recommended for conv
+    # (Atari-scale) recipes; exact-parity tests keep f32.
+    nnBf16: bool = False
 
     # --- run control ---
     saveFreq: int = 200000
