@@ -4,42 +4,51 @@ Headline: the FUSED actor-learner loop at the reference's obsPerStep=1
 pacing — each cycle is one XLA program doing an env sweep (1024 obs),
 at-ingest Retrace, and the matching 1024 ReF-ER grad steps.
 
-SINGLE PROCESS, strict transfer discipline. Two measured properties of
-the axon backend dictate the design (probes: tools/profile_fresh.py and
-the r3 canary/wedge experiments):
+MEASUREMENT METHODOLOGY (r3 correction — this is important).
+On the axon backend `jax.block_until_ready` does NOT wait for device
+completion: execution is asynchronous and only a device->host TRANSFER
+forces it. Measured evidence (r3 probes): a jitted chunk of Q=20 vs
+Q=400 scanned train steps "completes" in the same 0.6-1.6 ms wall
+(dispatch, not compute); one dispatch of K fused cycles with a closing
+transfer costs 206 ms/cycle at K=16 and K=64 alike (real device time).
+The r01/r02 benches timed with block_until_ready, so the r02 "2.65M
+combined steps/s (667x)" headline was a dispatch-rate mirage, and the
+r02 finding "the first transfer permanently degrades later executions"
+was the same artifact inverted: after a transfer, timings become REAL.
+Every timed phase here is therefore TRANSFER-FORCED: dispatch one big
+compiled macro, then read one scalar; wall time covers real execution.
+A canary transfer runs first (overlapped with trainer build/compiles) to
+absorb the cross-process transfer-wait (~1-6 min after any predecessor
+TPU process exits) before the clock starts.
 
-  1. In-process: the FIRST device->host transfer permanently degrades
-     every later program execution to a fat dispatch floor (measured
-     60 us -> 26 ms per exec after one 8-int canary transfer). So every
-     TIMED phase must run before the process's first transfer.
-  2. Cross-process: after ANY process that touched the chip exits, the
-     next process's transfers HANG until the tunnel claim idles out
-     (~5 min). The r02 capture's "quality0: timeout" + 4 skips was
-     exactly this: each subprocess child hung on its first readback
-     after the previous child exited. Single process = no wedge.
+Honest single-chip numbers are ~200 us per ReF-ER grad step (the
+backend executes each small XLA kernel in ~25 us — measured floor for a
+trivial 1-op scan body — and a train step is ~8 kernels; batch-256
+128x128 MLPs are latency-bound, not FLOP-bound, on every backend).
 
-Phase order (timed, transfer-free first):
-  fused     headline combined env+grad steps/s (same config as round 1)
-  steady    decoupled rollout throughput + standalone 100-step jitted
-            train chunk (same trainer, still transfer-free)
+Phases:
+  fused     headline combined env+grad steps/s: ONE dispatch of K fused
+            cycles (+ closing transfer)
+  steady    decoupled rollout sweep + standalone jitted train chunk,
+            each one dispatch + closing transfer
   atari     Atari-scale RACER train step (batch 128, Mnih 84x84x4 conv
-            -> 512 dense, uint8 replay, bf16 MXU path) + TFLOP/s + MFU
-  quality   [transfers allowed from here] episodes-to-threshold on
-            cart-pole, reference-default recipe, up to 3 seeds
-            (BASELINE.md primary gate: trailing-20-episode mean NOISY
-            training return >= THRESHOLD, + a separate noise-free
-            32-episode eval proving the deterministic policy). Chunked
-            macro-scan sized by the remaining budget: always emits at
-            least a partial curve.
+            -> 512 dense, uint8 replay) + TFLOP/s + MFU from compiled-
+            module cost analysis of ONE step
+  quality   episodes-to-threshold on cart-pole, reference-default
+            recipe, up to 3 seeds (BASELINE.md primary gate:
+            trailing-20-episode mean NOISY training return >= THRESHOLD,
+            + a separate noise-free 32-episode eval proving the
+            deterministic policy). Chunked macro-scan sized by the
+            remaining budget: always emits at least a partial curve.
 
 The XLA compile cache persists in .jax_cache/ (shared across bench
-invocations — the driver's run hits the cache this session warmed); the
-process re-execs itself once to set the cache env vars before
-sitecustomize imports jax.
+invocations); the process re-execs itself once to set the cache env vars
+before sitecustomize imports jax.
 
 vs_baseline is reported against this framework's round-1 capture
-(BENCH_r01.json headline 3968.3 env-steps/s == 1.0); the reference
-publishes no absolute throughput (BASELINE.md).
+(BENCH_r01.json headline 3968.3 env-steps/s == 1.0 — r01 read counters
+back every cycle, so ITS number was transfer-forced and real); the
+reference publishes no absolute throughput (BASELINE.md).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -47,6 +56,7 @@ import json
 import os
 import signal
 import sys
+import threading
 import time
 
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 480.0))
@@ -90,6 +100,31 @@ def _reexec_with_cache_env():
               + sys.argv[1:], env)
 
 
+def _force(x):
+    """Transfer-forced completion: the ONLY reliable fence on this
+    backend (block_until_ready returns before execution finishes)."""
+    import jax
+    import numpy as np
+    return np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+
+
+def _start_canary():
+    """First transfer of the process in a daemon thread: absorbs the
+    cross-process transfer wait while the main thread builds/compiles.
+    Returns (event, start_time)."""
+    done = threading.Event()
+
+    def work():
+        import jax.numpy as jnp
+        import numpy as np
+        np.asarray(jnp.arange(8) * 3)
+        done.set()
+
+    t0 = time.perf_counter()
+    threading.Thread(target=work, daemon=True).start()
+    return done, t0
+
+
 # ======================================================================
 # phases
 # ======================================================================
@@ -107,59 +142,81 @@ def _build_trainer(seed=0):
     return tr
 
 
+def _make_macro(tr, K):
+    """ONE compiled program of K fused cycles (env sweep + 1024 grad
+    steps each) — the honest unit of fused-throughput measurement."""
+    import jax
+    import jax.numpy as jnp
+
+    def macro(params, opt, carry):
+        def body(c, i):
+            p, o, cr = c
+            p, o, cr, _ms, _logs = tr._fused_cycle(p, o, cr, 1,
+                                                   tr.n_envs)
+            return (p, o, cr), None
+        return jax.lax.scan(body, (params, opt, carry),
+                            jnp.arange(K, dtype=jnp.float32))[0]
+    return jax.jit(macro)
+
+
 def phase_fused(budget):
-    """Headline. Returns (trainer, result) — the trainer is reused by
-    the steady phase. NO device->host transfer happens in here."""
+    """Headline: ONE dispatch of K fused cycles, transfer-forced."""
     import jax
     tr = _build_trainer()
-    tr.warmup(chunk=16, blind_sweeps=16)           # transfer-free warmup
-    tr.train_fused(2 * 1024, log_every=10 ** 9, flush=False)  # compiles
-    jax.block_until_ready(tr.params)
-    g0, e0 = tr.n_grad_steps, tr.n_env_steps
+    tr.warmup(chunk=16, blind_sweeps=16)
+    K = 32 if budget < 25 else 64
+    jm = _make_macro(tr, K)
+    p, o, carry = jm(tr.params, tr.opt_state, tr.carry)   # compile+run
+    _force(p)
     t0 = time.perf_counter()
-    tr.train_fused(64 * 1024, log_every=10 ** 9, flush=False,
-                   max_wall_s=max(10.0, budget))
-    jax.block_until_ready(tr.params)
+    p, o, carry = jm(p, o, carry)
+    _force(p)
     dt = time.perf_counter() - t0
-    tr._pending_logs.clear()    # deferred device logs: not needed
+    tr.params, tr.opt_state, tr.carry = p, o, carry
+    steps = K * tr.n_envs
     return tr, {
-        "combined_env_steps_per_s": round((tr.n_env_steps - e0) / dt, 1),
-        "combined_grad_steps_per_s":
-            round((tr.n_grad_steps - g0) / dt, 1),
+        "combined_env_steps_per_s": round(steps / dt, 1),
+        "combined_grad_steps_per_s": round(steps / dt, 1),
+        "fused_cycle_ms": round(dt * 1e3 / K, 2),
         "device": str(jax.devices()[0])}
 
 
 def phase_steady(tr):
-    """Decoupled-loop throughputs on the fused trainer: rollout
-    (acting + ingest) and a standalone 100-step jitted train chunk.
-    Still transfer-free."""
+    """Decoupled throughputs, each ONE dispatch + closing transfer."""
     import jax
     key = jax.random.PRNGKey(1)
-    out = tr._train_chunk(tr.params, tr.opt_state, tr.carry.replay, key,
-                          100)                       # compile train chunk
-    jax.block_until_ready(out)
+    SW = 64     # rollout sweeps in one dispatch
+    carry, _logs = tr._rollout(tr.params, tr.carry, SW)   # compile
+    _force(carry.replay.length)
     t0 = time.perf_counter()
-    for _ in range(8):
-        tr._roll(16)
-    jax.block_until_ready(tr.carry.replay.length)
+    carry, _logs = tr._rollout(tr.params, carry, SW)
+    _force(carry.replay.length)
     dt_roll = time.perf_counter() - t0
+    tr.carry = carry
+
+    NT = 500    # standalone train chunk length
+    out = tr._train_chunk(tr.params, tr.opt_state, tr.carry.replay, key,
+                          NT)
+    _force(out[0])
     t0 = time.perf_counter()
-    for _ in range(5):
-        out = tr._train_chunk(tr.params, tr.opt_state, tr.carry.replay,
-                              key, 100)
-    jax.block_until_ready(out)
+    out = tr._train_chunk(tr.params, tr.opt_state, tr.carry.replay, key,
+                          NT)
+    _force(out[0])
     dt_train = time.perf_counter() - t0
     tr._pending_logs.clear()
-    return {"rollout_env_steps_per_s": round(8 * 16 * 1024 / dt_roll, 1),
-            "train_chunk_grad_steps_per_s": round(500 / dt_train, 1)}
+    return {"rollout_env_steps_per_s": round(SW * tr.n_envs / dt_roll, 1),
+            "train_chunk_grad_steps_per_s": round(NT / dt_train, 1)}
 
 
 def phase_atari():
     """Atari-scale RACER train step (reference RACER_atari.json recipe:
     batch 128, layers [512], conv preprocessing; Mnih et al. 84x84x4
-    stack), uint8 image replay, full ReF-ER pipeline on synthetic data,
-    bf16 MXU contractions (cfg.nnBf16). Still transfer-free (the FLOPs
-    come from compiled-module cost analysis, not from device reads)."""
+    stack), uint8 image replay, full ReF-ER pipeline on synthetic data.
+    Timed as one dispatch of a Q-step scan + closing transfer; FLOPs
+    from cost analysis of ONE unscanned step (cost analysis of a scan
+    reports the body once, not xQ — r02's per-step MFU divided both time
+    and flops by Q, so its ratio was right but its step time was 20x
+    optimistic)."""
     import jax
     import jax.numpy as jnp
     from smarties_tpu.algos.vracer import VRacer
@@ -173,8 +230,7 @@ def phase_atari():
                                (20, 20, 32, 64, 4, 2),
                                (9, 9, 64, 64, 3, 1)))
     cfg = HyperParameters(batchSize=128, nnLayerSizes=[512], gamma=0.99,
-                          minTotObsNum=16384, maxTotObsNum=262144,
-                          nnBf16=True)
+                          minTotObsNum=16384, maxTotObsNum=262144)
     algo = VRacer(mdp, cfg)   # discrete -> RACER rewrite
     params, opt = algo.init(jax.random.PRNGKey(0))
     E, L = 512, 128
@@ -188,7 +244,7 @@ def phase_atari():
                                   (E, L + 1, mdp.dim_state_observed),
                                   0, 256, jnp.uint8),
         rho=jnp.ones((E, L + 1)))
-    Q = 20
+    Q = 100
 
     def chunk(p, o, r, k):
         def body(c, kk):
@@ -201,23 +257,25 @@ def phase_atari():
     jf = jax.jit(chunk)
     key = jax.random.PRNGKey(2)
     out = jf(params, opt, rs, key)
-    jax.block_until_ready(out)
+    _force(out[0])
     best = float("inf")
-    for _ in range(4):
+    for _ in range(2):
         t0 = time.perf_counter()
         out = jf(params, opt, rs, key)
-        jax.block_until_ready(out)
+        _force(out[0])
         best = min(best, time.perf_counter() - t0)
     step_ms = best * 1e3 / Q
     res = {"atari_train_step_ms": round(step_ms, 3),
            "atari_grad_steps_per_s": round(Q / best, 1)}
-    try:  # FLOPs from the compiled module -> achieved TFLOP/s and MFU
-        cost = jf.lower(params, opt, rs, key).compile().cost_analysis()
+    try:  # FLOPs of ONE step -> achieved TFLOP/s and MFU
+        one = jax.jit(algo.train_step)
+        cost = one.lower(params, opt, rs, key).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) / Q
+        flops = float(cost.get("flops", 0.0))
         if flops > 0:
             tflops = flops / (step_ms * 1e-3) / 1e12
+            res["atari_flops_per_step_g"] = round(flops / 1e9, 2)
             res["atari_tflops_achieved"] = round(tflops, 1)
             kind = jax.devices()[0].device_kind.lower()
             peak = next((v for s, v in PEAKS.items() if s in kind), None)
@@ -235,12 +293,11 @@ def phase_quality(seed, budget):
     except minTotObsNum 131072->65536 (the 4096-slot ring cannot hold
     131k obs of short random-policy warmup episodes).
 
-    Runs AFTER all timed phases: device->host transfers are allowed
-    (they poison only dispatch latency, which this phase does not
-    measure). The curve tracker runs on device inside a jitted
-    macro-scan, chunked KC cycles per program execution with a host
-    wall-clock check between chunks — a shrinking budget degrades the
-    result to a partial curve instead of nothing."""
+    The curve tracker runs on device inside a jitted macro-scan, chunked
+    KC cycles per program execution with a host wall-clock check between
+    chunks — a shrinking budget degrades the result to a partial curve
+    instead of nothing. The per-chunk curve readback doubles as the
+    completion fence."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -296,7 +353,6 @@ def phase_quality(seed, budget):
         while cycles < K:
             (p, o, carry, trk), (cnts, means, ovf) = jm(
                 p, o, carry, trk, float(cycles))
-            jax.block_until_ready(cnts)
             cycles += KC
             cnts_all.append(np.asarray(cnts))
             means_all.append(np.asarray(means))
@@ -336,29 +392,8 @@ def phase_quality(seed, budget):
     return res
 
 
-def _transfer_canary(max_wait: float):
-    """First device->host transfer of the process, in a daemon thread
-    with a bounded wait: if another TPU process exited recently, the
-    tunnel's transfer path hangs until its claim idles out (~5 min,
-    measured r3). Returns (ok, seconds_waited); on timeout the blocked
-    thread is abandoned (daemon) so the process can still emit output."""
-    import threading
-    import numpy as np
-    import jax.numpy as jnp
-    done = threading.Event()
-
-    def work():
-        np.asarray(jnp.arange(8) * 3)
-        done.set()
-
-    t0 = time.perf_counter()
-    threading.Thread(target=work, daemon=True).start()
-    done.wait(timeout=max(1.0, max_wait))
-    return done.is_set(), round(time.perf_counter() - t0, 1)
-
-
 # ======================================================================
-# main: one process, phases in transfer-discipline order
+# main
 # ======================================================================
 
 def main():
@@ -369,14 +404,24 @@ def main():
     def left():
         return BUDGET_S - (time.time() - t_start)
 
-    extras = {"n_envs": 1024, "batch_size": 256}
+    extras = {"n_envs": 1024, "batch_size": 256,
+              "timing": "transfer-forced (block_until_ready does not "
+                        "fence on this backend; see bench.py docstring)"}
     errors, skipped = [], []
     etts = []
     value = 0.0
+    # first transfer of the process: absorb the cross-process wait in a
+    # daemon thread while the fused phase builds and compiles
+    canary, t_can = _start_canary()
     try:
-        # ---- timed phases: NO device->host transfer above this line ----
         try:
-            tr, head = phase_fused(min(60.0, max(15.0, left() / 6)))
+            # phase_fused's first (untimed) _force queues behind the
+            # canary and absorbs the cross-process transfer wait; its
+            # TIMED dispatch runs with a sane transfer path
+            tr, head = phase_fused(left())
+            extras["transfer_canary_s"] = round(
+                time.perf_counter() - t_can, 1) if canary.is_set() \
+                else None
             extras.update(head)
             value = head.get("combined_env_steps_per_s", 0.0)
         except _Terminated:
@@ -385,12 +430,12 @@ def main():
             errors.append(f"fused: {e!r}"[:300])
             tr = None
 
-        if tr is not None and left() > 30:
+        if tr is not None and left() > 40:
             try:
                 extras.update(phase_steady(tr))
             except Exception as e:
                 errors.append(f"steady: {e!r}"[:300])
-        elif tr is None or left() <= 30:
+        elif tr is None or left() <= 40:
             skipped.append("steady")
 
         if left() > 60:
@@ -401,22 +446,15 @@ def main():
         else:
             skipped.append("atari")
 
-        # ---- transfers allowed from here (dispatch floor accepted) ----
         del tr
-        ok, waited = _transfer_canary(min(max(0.0, left() - 90), 330.0))
-        extras["transfer_canary_s"] = waited
-        if not ok:
-            extras["transfer_wedged"] = True
-            skipped += ["quality0", "quality1", "quality2"]
-        else:
-            for seed in (0, 1, 2):
-                if left() < 60:
-                    skipped.append(f"quality{seed}")
-                    continue
-                try:
-                    etts.append(phase_quality(seed, left() - 15))
-                except Exception as e:
-                    errors.append(f"quality{seed}: {e!r}"[:300])
+        for seed in (0, 1, 2):
+            if left() < 60:
+                skipped.append(f"quality{seed}")
+                continue
+            try:
+                etts.append(phase_quality(seed, left() - 15))
+            except Exception as e:
+                errors.append(f"quality{seed}: {e!r}"[:300])
     except _Terminated:
         errors.append("terminated before completion (partial capture)")
 

@@ -138,12 +138,14 @@ class Trainer:
             # (prefer_pallas=False): Mosaic kernels cannot co-compile with
             # lax.scan through the remote-compile tunnel.
             # The train keys derive from carry.key INSIDE the program:
-            # the steady-state loop must issue ZERO eager ops and ZERO
-            # device->host transfers — on the axon backend a single
-            # transfer after a rollout permanently degrades every later
-            # program execution to a ~250 us/iteration floor (measured in
-            # tools/profile_fresh.py; clean steady state is ~5-10 us per
-            # grad step).
+            # the steady-state loop issues ZERO eager ops and ZERO
+            # device->host transfers. (r3 correction: on the axon
+            # backend block_until_ready does not fence — transfers are
+            # the only real completion fence, and the r2 belief that a
+            # transfer "permanently degrades" later executions was that
+            # artifact inverted. Transfer-free cycles still matter: the
+            # post-transfer per-DISPATCH sync overhead is ~30-60 ms, so
+            # group cycles into jitted macro-scans when timing.)
             def fused_cycle(params, opt_state, carry, n_roll, n_train):
                 carry, logs = chunk_fn(params, carry, n_roll)
                 rs2 = rb.refresh_new_returns(

@@ -1,26 +1,33 @@
-"""Learning-curve parity artifacts (VERDICT r1 next-step #7).
+"""Learning-curve parity artifacts (VERDICT r1 #7, r2 #5/#7/#8).
 
-Runs recipe x env combos to convergence on one chip, one combo per
-subprocess (the axon backend degrades permanently after the first
-device->host transfer; isolation keeps every run's steady state clean —
-see bench.py). Each run writes a reference-format
-agent_00_rank00_cumulative_rewards.dat under docs/curves/runs/<name>/ and
-a JSON summary; `render` turns the .dat files into docs/curves/<name>.png
-(raw episode returns at low alpha + trailing-mean line, one panel per
-run) plus a combined docs/curves/summary.png.
+Runs recipe x env combos to convergence on one chip, ALL IN ONE PROCESS
+(the r2 one-combo-per-subprocess design made every successor combo's
+first device->host transfer wait out the cross-process tunnel claim of
+its predecessor, ~1-6 min each). Combos run sequentially: train, then
+flush + eval, then the next combo. Timing note (bench.py docstring):
+block_until_ready does not fence on this backend, so per-combo wall
+times are only meaningful because finish_combo's transfers force real
+completion before the next combo starts. Budgets are sized to the REAL
+measured single-chip rate (~5k fused grad-steps/s; the r2 "millions/s"
+was a dispatch-rate artifact).
+
+Each run writes a reference-format agent_00_rank00_cumulative_rewards.dat
+under docs/curves/runs/<name>/ and a JSON summary; `render` turns the
+.dat files into docs/curves/<name>.png (raw episode returns at low alpha
++ trailing-mean line) plus a combined docs/curves/summary.png.
 
 Reference analog: the learning curves of Novati & Koumoutsakos ICML'19
 reproduced by the repo recipes (BASELINE.md comparison procedure); the
 .dat format is MemoryBuffer.cpp:491-513.
 
 Usage:
-  python tools/learning_curves.py            # run all combos + render
-  python tools/learning_curves.py run NAME   # one combo (child mode)
-  python tools/learning_curves.py render     # re-render PNGs only
+  python tools/learning_curves.py                 # run all + render
+  python tools/learning_curves.py run A B ...     # subset + render
+  python tools/learning_curves.py render          # re-render PNGs only
 """
+import importlib
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -29,42 +36,105 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 OUT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "docs", "curves")
 
-# name -> (env, recipe, overrides, grad-step budget, wall cap s, n_envs)
+# name -> dict(env, recipe, overrides, budget (grad steps), wall (s),
+#              n_envs, [uint8] for pixel replays)
 #
 # Budgets are sized in env-steps-per-lane: at obsPerStep=1 each lane sees
-# grad_steps/n_envs env steps, so a 200-step pendulum episode needs
-# ~200k grad steps per episode-per-lane at 1024 lanes. Wall cost is
-# almost entirely the 2-3 jit compiles (~40-60 s each through the
-# remote-compile tunnel); the training itself runs at millions of
-# steps/s, so 10x more grad steps costs seconds.
+# grad_steps/n_envs env steps. Wall cost is almost entirely the 2-3 jit
+# compiles (~40-60 s each cold through the remote-compile tunnel; cached
+# in .jax_cache afterwards); training runs at millions of steps/s.
 COMBOS = {
-    "vracer_pendulum": ("pendulum", "VRACER",
-                        {"gamma": 0.99, "minTotObsNum": 65536,
-                         "maxTotObsNum": 131072}, 2_000_000, 400, 1024),
-    "dpg_pendulum": ("pendulum", "DPG",
-                     {"gamma": 0.99, "minTotObsNum": 65536,
-                      "maxTotObsNum": 131072}, 2_000_000, 400, 1024),
+    "vracer_pendulum": dict(
+        env="pendulum", recipe="VRACER",
+        over={"gamma": 0.99, "minTotObsNum": 65536,
+              "maxTotObsNum": 131072},
+        budget=500_000, wall=400, n_envs=1024),
+    "dpg_pendulum": dict(
+        env="pendulum", recipe="DPG",
+        over={"gamma": 0.99, "minTotObsNum": 65536,
+              "maxTotObsNum": 131072},
+        budget=400_000, wall=400, n_envs=1024),
     # PPO.json horizon (maxTotObsNum) is 2048: min must come down with it
-    "ppo_pendulum": ("pendulum", "PPO",
-                     {"gamma": 0.99, "minTotObsNum": 2048},
-                     30_000, 300, 64),
+    "ppo_pendulum": dict(
+        env="pendulum", recipe="PPO",
+        over={"gamma": 0.99, "minTotObsNum": 2048},
+        budget=30_000, wall=300, n_envs=64),
     # glider episodes run up to 400 steps: 3M grad steps = ~2900 env
     # steps per lane = ~7 episodes per lane
-    "racer_glider": ("glider", "RACER_glider",
-                     {"minTotObsNum": 65536}, 3_000_000, 500, 1024),
+    "racer_glider": dict(
+        env="glider", recipe="RACER_glider",
+        over={"minTotObsNum": 65536},
+        budget=1_000_000, wall=500, n_envs=1024),
+    # ---- r3: solved-threshold records for the weak algos (VERDICT #7) --
+    "dqn_cartpole": dict(
+        env="cartpole.discrete", recipe="DQN",
+        over={"clipImpWeight": 4.0, "returnsEstimator": "retrace",
+              "minTotObsNum": 65536, "maxTotObsNum": 262144},
+        budget=500_000, wall=400, n_envs=1024),
+    "acer_cartpole": dict(
+        env="cartpole", recipe="ACER",
+        over={"minTotObsNum": 65536, "maxTotObsNum": 131072},
+        budget=300_000, wall=500, n_envs=1024),
+    "naf_cartpole": dict(
+        env="cartpole", recipe="NAF",
+        over={"minTotObsNum": 65536, "maxTotObsNum": 262144},
+        budget=500_000, wall=400, n_envs=1024),
+    "mixedpg_pendulum": dict(
+        env="pendulum", recipe="VRACER",
+        over={"learner": "MixedPG", "gamma": 0.99,
+              "minTotObsNum": 65536, "maxTotObsNum": 131072},
+        budget=500_000, wall=400, n_envs=1024),
+    # ---- r3: classic-control coverage (VERDICT #8), 2 algos per env ----
+    "vracer_acrobot": dict(
+        env="acrobot", recipe="VRACER",
+        over={"gamma": 0.99, "minTotObsNum": 65536,
+              "maxTotObsNum": 131072},
+        budget=500_000, wall=400, n_envs=1024),
+    "dqn_acrobot": dict(
+        env="acrobot", recipe="DQN",
+        over={"clipImpWeight": 4.0, "returnsEstimator": "retrace",
+              "minTotObsNum": 65536, "maxTotObsNum": 262144},
+        budget=500_000, wall=400, n_envs=1024),
+    "vracer_mountaincar": dict(
+        env="mountaincar", recipe="VRACER",
+        over={"gamma": 0.995, "explNoise": 0.8, "minTotObsNum": 65536,
+              "maxTotObsNum": 262144},
+        budget=1_000_000, wall=600, n_envs=1024),
+    "dpg_mountaincar": dict(
+        env="mountaincar", recipe="DPG",
+        over={"gamma": 0.995, "explNoise": 0.6, "minTotObsNum": 65536,
+              "maxTotObsNum": 262144},
+        budget=1_000_000, wall=600, n_envs=1024),
+    # ---- r3: conv learning proof (VERDICT #5): pixel Catch with the
+    # RACER_atari-style recipe (Mnih conv stack, uint8 replay, bf16) ----
+    "racer_catch": dict(
+        env="catch", recipe="RACER_atari",
+        over={"minTotObsNum": 8192, "maxTotObsNum": 65536,
+              "nnBf16": True},
+        budget=120_000, wall=600, n_envs=256, uint8=True,
+        n_slots=2048),
 }
 
 
-def run_combo(name):
-    import numpy as np
+def _import_env(name):
+    if "." in name:
+        mod, attr = name.split(".", 1)
+        return getattr(importlib.import_module(
+            f"smarties_tpu.envs.{mod}"), attr)
+    return importlib.import_module(f"smarties_tpu.envs.{name}")
+
+
+def train_combo(name):
+    """Phase 1: build + train one combo with ZERO device->host
+    transfers. Returns the live Trainer for the later flush/eval."""
+    import jax.numpy as jnp
     from smarties_tpu.runtime.trainer import Trainer
     from smarties_tpu.utils import recipes
-    import importlib
 
-    env_name, rec, over, budget, wall, n_envs = COMBOS[name]
-    env = importlib.import_module(f"smarties_tpu.envs.{env_name}")
-    d = dict(recipes.RECIPES[rec])
-    d.update(over)
+    c = COMBOS[name]
+    env = _import_env(c["env"])
+    d = dict(recipes.RECIPES[c["recipe"]])
+    d.update(c["over"])
     cfg = recipes.HyperParameters.from_dict(d)
     run_dir = os.path.join(OUT, "runs", name)
     os.makedirs(run_dir, exist_ok=True)
@@ -72,35 +142,46 @@ def run_combo(name):
     rew = os.path.join(run_dir, "agent_00_rank00_cumulative_rewards.dat")
     if os.path.exists(rew):
         os.remove(rew)
-    tr = Trainer(env, env.MDP, cfg, n_envs=n_envs, max_len=env.MAX_STEPS,
-                 run_dir=run_dir, algo_cls=__import__(
-                     "smarties_tpu.algos.registry",
-                     fromlist=["make_learner"]).make_learner)
+    tr = Trainer(env, env.MDP, cfg, n_envs=c["n_envs"],
+                 n_slots=c.get("n_slots"),
+                 max_len=env.MAX_STEPS, run_dir=run_dir,
+                 state_dtype=jnp.uint8 if c.get("uint8") else None)
     t0 = time.time()
     if getattr(tr.algo, "on_policy", False):
-        tr.train(budget, log_every=10 ** 9, max_wall_s=wall)
+        tr.train(c["budget"], log_every=10 ** 9, max_wall_s=c["wall"])
     else:
-        tr.log_flush_threshold = 10 ** 9       # transfer-free steady state
+        tr.log_flush_threshold = 10 ** 9   # transfer-free steady state
         tr.warmup(chunk=16,
-                  blind_sweeps=max(16, cfg.minTotObsNum // n_envs))
-        tr.train_fused(budget, log_every=10 ** 9, max_wall_s=wall,
-                       flush=False)
+                  blind_sweeps=max(16, cfg.minTotObsNum // c["n_envs"]))
+        tr.train_fused(c["budget"], log_every=10 ** 9,
+                       max_wall_s=c["wall"], flush=False)
+    tr._wall_s = time.time() - t0
+    return tr
+
+
+def finish_combo(name, tr):
+    """Phase 2: flush deferred logs + deterministic eval (transfers)."""
+    import numpy as np
+    c = COMBOS[name]
+    env = _import_env(c["env"])
+    run_dir = os.path.join(OUT, "runs", name)
+    rew = os.path.join(run_dir, "agent_00_rank00_cumulative_rewards.dat")
     tr._flush_logs()
     tr._rew_file.flush()
-    wall_s = time.time() - t0
     ev = tr.evaluate(16, max_steps=env.MAX_STEPS)
     summary = {
-        "name": name, "recipe": rec, "env": env_name,
+        "name": name, "recipe": c["recipe"], "env": c["env"],
         "grad_steps": tr.n_grad_steps, "env_steps": tr.n_env_steps,
         "episodes": sum(1 for _ in open(rew)) if os.path.exists(rew)
         else 0,
-        "wall_s": round(wall_s, 1),
+        "wall_s": round(tr._wall_s, 1),
         "eval_mean": round(float(np.mean(ev)), 2),
         "eval_std": round(float(np.std(ev)), 2),
     }
     with open(os.path.join(run_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary), flush=True)
+    return summary
 
 
 def render():
@@ -119,9 +200,13 @@ def render():
     if not runs:
         print("no runs to render")
         return
-    fig, axes = plt.subplots(1, len(runs), figsize=(4.2 * len(runs), 3.4),
+    ncol = min(4, len(runs))
+    nrow = (len(runs) + ncol - 1) // ncol
+    fig, axes = plt.subplots(nrow, ncol,
+                             figsize=(4.2 * ncol, 3.4 * nrow),
                              squeeze=False)
-    for ax, name in zip(axes[0], runs):
+    for k, name in enumerate(runs):
+        ax = axes[k // ncol][k % ncol]
         dat = np.loadtxt(os.path.join(
             OUT, "runs", name, "agent_00_rank00_cumulative_rewards.dat"))
         x, r = dat[:, 1], dat[:, 4]
@@ -150,6 +235,8 @@ def render():
         fig2.tight_layout()
         fig2.savefig(os.path.join(OUT, f"{name}.png"), dpi=130)
         plt.close(fig2)
+    for k in range(len(runs), nrow * ncol):
+        axes[k // ncol][k % ncol].axis("off")
     axes[0][0].set_ylabel("episode return")
     fig.tight_layout()
     fig.savefig(os.path.join(OUT, "summary.png"), dpi=130)
@@ -157,20 +244,20 @@ def render():
 
 
 def main():
-    if len(sys.argv) >= 3 and sys.argv[1] == "run":
-        run_combo(sys.argv[2])
-        return
     if len(sys.argv) >= 2 and sys.argv[1] == "render":
         render()
         return
+    names = (sys.argv[2:] if len(sys.argv) >= 3 and sys.argv[1] == "run"
+             else list(COMBOS))
     os.makedirs(os.path.join(OUT, "runs"), exist_ok=True)
-    for name in COMBOS:
+    for name in names:
         print(f"=== {name} ===", flush=True)
-        p = subprocess.run([sys.executable, os.path.abspath(__file__),
-                            "run", name],
-                           timeout=COMBOS[name][4] + 600)
-        if p.returncode:
-            print(f"{name}: FAILED rc={p.returncode}", flush=True)
+        try:
+            tr = train_combo(name)
+            finish_combo(name, tr)
+            del tr
+        except Exception as e:
+            print(f"{name}: FAILED {e!r}", flush=True)
     render()
 
 
