@@ -209,11 +209,21 @@ class VRacer:
             out, out_next_pre, pullback = seq_forward_vjp(
                 params, spec, xs, active)
         else:
-            out, vjp_fn = jax.vjp(lambda p: fwd(p, mb.s_t), params)
-            out_next_pre = None
+            # ONE forward over [s_t; s_t1] instead of two: the t+1 values
+            # (V(s_T) refresh, RACER_train.cpp:22-27) ride along in the
+            # same kernel chain — halves the per-step kernel count, which
+            # is what bounds small-model steps (~25 us/kernel backend
+            # latency floor, docs/RESULTS.md r3 correction). The s_t1
+            # rows get ZERO cotangents in the pullback, so gradients are
+            # bit-identical to the two-forward version.
+            B2 = mb.s_t.shape[0]
+            xcat = jnp.concatenate([mb.s_t, mb.s_t1], axis=0)
+            out_cat, vjp_fn = jax.vjp(lambda p: fwd(p, xcat), params)
+            out, out_next_pre = out_cat[:B2], out_cat[B2:]
 
             def pullback(g):
-                return vjp_fn(g)[0]
+                return vjp_fn(jnp.concatenate(
+                    [g, jnp.zeros_like(g)], axis=0))[0]
 
         v_raw, adv_out, pol, sraw = self._split_out(out)
         v_val = scale_net2v(v_raw)
