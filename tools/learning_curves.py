@@ -48,70 +48,70 @@ COMBOS = {
         env="pendulum", recipe="VRACER",
         over={"gamma": 0.99, "minTotObsNum": 65536,
               "maxTotObsNum": 131072},
-        budget=500_000, wall=400, n_envs=1024),
+        budget=2_000_000, wall=900, n_envs=1024),
     "dpg_pendulum": dict(
         env="pendulum", recipe="DPG",
         over={"gamma": 0.99, "minTotObsNum": 65536,
               "maxTotObsNum": 131072},
-        budget=400_000, wall=400, n_envs=1024),
+        budget=2_000_000, wall=900, n_envs=1024),
     # PPO.json horizon (maxTotObsNum) is 2048: min must come down with it
     "ppo_pendulum": dict(
         env="pendulum", recipe="PPO",
         over={"gamma": 0.99, "minTotObsNum": 2048},
-        budget=30_000, wall=300, n_envs=64),
+        budget=60_000, wall=900, n_envs=64),
     # glider episodes run up to 400 steps: 3M grad steps = ~2900 env
     # steps per lane = ~7 episodes per lane
     "racer_glider": dict(
         env="glider", recipe="RACER_glider",
         over={"minTotObsNum": 65536},
-        budget=1_000_000, wall=500, n_envs=1024),
+        budget=3_000_000, wall=900, n_envs=1024),
     # ---- r3: solved-threshold records for the weak algos (VERDICT #7) --
     "dqn_cartpole": dict(
         env="cartpole.discrete", recipe="DQN",
         over={"clipImpWeight": 4.0, "returnsEstimator": "retrace",
               "minTotObsNum": 65536, "maxTotObsNum": 262144},
-        budget=500_000, wall=400, n_envs=1024),
+        budget=1_500_000, wall=900, n_envs=1024),
     "acer_cartpole": dict(
         env="cartpole", recipe="ACER",
         over={"minTotObsNum": 65536, "maxTotObsNum": 131072},
-        budget=300_000, wall=500, n_envs=1024),
+        budget=1_000_000, wall=900, n_envs=1024),
     "naf_cartpole": dict(
         env="cartpole", recipe="NAF",
         over={"minTotObsNum": 65536, "maxTotObsNum": 262144},
-        budget=500_000, wall=400, n_envs=1024),
+        budget=1_500_000, wall=900, n_envs=1024),
     "mixedpg_pendulum": dict(
         env="pendulum", recipe="VRACER",
         over={"learner": "MixedPG", "gamma": 0.99,
               "minTotObsNum": 65536, "maxTotObsNum": 131072},
-        budget=500_000, wall=400, n_envs=1024),
+        budget=2_000_000, wall=900, n_envs=1024),
     # ---- r3: classic-control coverage (VERDICT #8), 2 algos per env ----
     "vracer_acrobot": dict(
         env="acrobot", recipe="VRACER",
         over={"gamma": 0.99, "minTotObsNum": 65536,
               "maxTotObsNum": 131072},
-        budget=500_000, wall=400, n_envs=1024),
+        budget=1_000_000, wall=900, n_envs=1024),
     "dqn_acrobot": dict(
         env="acrobot", recipe="DQN",
         over={"clipImpWeight": 4.0, "returnsEstimator": "retrace",
               "minTotObsNum": 65536, "maxTotObsNum": 262144},
-        budget=500_000, wall=400, n_envs=1024),
+        budget=1_000_000, wall=900, n_envs=1024),
     "vracer_mountaincar": dict(
         env="mountaincar", recipe="VRACER",
         over={"gamma": 0.995, "explNoise": 0.8, "minTotObsNum": 65536,
               "maxTotObsNum": 262144},
-        budget=1_000_000, wall=600, n_envs=1024),
+        budget=1_500_000, wall=900, n_envs=1024),
     "dpg_mountaincar": dict(
         env="mountaincar", recipe="DPG",
         over={"gamma": 0.995, "explNoise": 0.6, "minTotObsNum": 65536,
               "maxTotObsNum": 262144},
-        budget=1_000_000, wall=600, n_envs=1024),
+        budget=1_500_000, wall=900, n_envs=1024),
     # ---- r3: conv learning proof (VERDICT #5): pixel Catch with the
     # RACER_atari-style recipe (Mnih conv stack, uint8 replay, bf16) ----
     "racer_catch": dict(
         env="catch", recipe="RACER_atari",
         over={"minTotObsNum": 8192, "maxTotObsNum": 65536,
               "nnBf16": True},
-        budget=120_000, wall=600, n_envs=256, uint8=True,
+        budget=120_000, wall=900, n_envs=256, uint8=True,
         n_slots=2048),
 }
 
