@@ -189,6 +189,126 @@ class SocketEnvPool:
     def _member_of_channel(self, c: int) -> int:
         return c * self.n_members if self.dist_agents else c
 
+    # ---------------- event-driven serving (Master.cpp:118-144) --------
+    def _try_read_msgs(self, j: int):
+        """Nonblocking framed reader for member j: drains whatever bytes
+        are available into a per-connection buffer and yields complete
+        messages. The reference's SOCKET_Irecv + Test pair
+        (Utils/SocketsLib.h) collapses to buffered parsing here."""
+        if not hasattr(self, "_rbuf"):
+            self._rbuf = [b""] * len(self._conns)
+        conn = self._conns[j]
+        conn.setblocking(False)
+        try:
+            while True:
+                try:
+                    chunk = conn.recv(65536)
+                except BlockingIOError:
+                    break
+                if not chunk:
+                    raise EOFError("env app closed the connection")
+                self._rbuf[j] += chunk
+        finally:
+            conn.setblocking(True)
+        out = []
+        buf = self._rbuf[j]
+        while True:
+            if len(buf) < 4:
+                break
+            magic, = struct.unpack("<I", buf[:4])
+            if magic == MAGIC_SPEC:
+                if len(buf) < 8:
+                    break
+                ln, = struct.unpack("<I", buf[4:8])
+                if len(buf) < 8 + ln:
+                    break
+                spec = json.loads(buf[8:8 + ln].decode())
+                out.append(("spec", self._normalize_spec(spec)))
+                buf = buf[8 + ln:]
+            elif magic == MAGIC_STAT:
+                if len(buf) < 16:
+                    break
+                agent, status, dim = struct.unpack("<III", buf[4:16])
+                need = 16 + 8 * dim + 8
+                if len(buf) < need:
+                    break
+                state = np.frombuffer(buf[16:16 + 8 * dim], np.float64)
+                reward, = struct.unpack("<d", buf[16 + 8 * dim:need])
+                out.append(("state", agent, status, state.copy(), reward))
+                buf = buf[need:]
+            else:
+                raise ValueError(f"bad magic {magic:#x}")
+        self._rbuf[j] = buf
+        return out
+
+    def poll_states(self, timeout: float = 0.05):
+        """Event-driven serving round for native apps: return the
+        buffered events of every channel whose round is complete RIGHT
+        NOW (all its lanes have pending action requests) — a slow
+        simulation never rate-limits the rest (Master.cpp:118-144).
+        Same contract as EnvPool.poll_states."""
+        import time as _time
+        from multiprocessing.connection import wait as _w
+        if not hasattr(self, "_chan_events"):
+            self._chan_events = {}
+            self._chan_complete = set()
+            self._drain_left = {}    # member j -> duplicate rounds owed
+        M = self.n_members
+        deadline = _time.monotonic() + timeout
+        while True:
+            for c in range(self.n_channels):
+                j = self._member_of_channel(c)
+                buf = self._chan_events.setdefault(c, [])
+                if c not in self._chan_complete:
+                    if self._pending[j] is not None:
+                        msgs = [self._pending[j]]
+                        self._pending[j] = None
+                    else:
+                        msgs = []
+                    msgs += self._try_read_msgs(j)
+                    for msg in msgs:
+                        if msg[0] == "spec":
+                            continue
+                        _, agent_id, status, state, reward = msg
+                        buf.append((c * self.n_agents + agent_id, status,
+                                    state, reward))
+                        if (status in (INIT, CONT)
+                                and agent_id == self.n_agents - 1):
+                            self._chan_complete.add(c)
+                if self.dist_agents and M > 1:
+                    # count each non-root member's completed duplicate
+                    # rounds so replies stay in lockstep with its stream
+                    for jj in range(c * M + 1, (c + 1) * M):
+                        for msg in self._try_read_msgs(jj):
+                            if msg[0] == "spec":
+                                continue
+                            _, agent_id, status, _s, _r = msg
+                            if (status in (INIT, CONT)
+                                    and agent_id == self.n_agents - 1):
+                                self._drain_left[jj] = \
+                                    self._drain_left.get(jj, 0) + 1
+            events, ready = [], []
+            for c in sorted(self._chan_complete):
+                if self.dist_agents and M > 1:
+                    if not all(self._drain_left.get(jj, 0) > 0
+                               for jj in range(c * M + 1, (c + 1) * M)):
+                        continue
+                    for jj in range(c * M + 1, (c + 1) * M):
+                        self._drain_left[jj] -= 1
+                events.extend(self._chan_events.pop(c, []))
+                self._chan_complete.discard(c)
+                ready.extend(range(c * self.n_agents,
+                                   (c + 1) * self.n_agents))
+            if events or ready:
+                return events, ready
+            left = deadline - _time.monotonic()
+            if left <= 0:
+                return events, ready
+            try:
+                _w(self._conns, timeout=left)
+            except OSError:
+                pass
+
     def _pump(self, j: int, sink):
         """Receive from member j until its last agent has a pending
         action request; `sink(agent_id, status, state, reward)` gets

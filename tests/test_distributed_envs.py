@@ -166,3 +166,27 @@ class TestCartPoleMany:
         assert b0.n_grad >= 15 and b1.n_grad >= 15
         assert int(b0.rs.n_stored_eps()) > 0
         assert int(b1.rs.n_stored_eps()) > 0
+
+
+@pytest.mark.timeout(300)
+def test_diffusion_control_team_app():
+    """CUP2D-coupling-pattern demo (apps/diffusion_control): a 1-D heat
+    rod DOMAIN-DECOMPOSED across a 2-process env team — halo exchange
+    via TeamComm, one logical agent (envHasDistributedAgents), rank-0
+    ingest + identical replies (reference apps/CUP2D_* shape)."""
+    import runpy
+    mod = runpy.run_path(os.path.join(
+        os.path.dirname(__file__), "..", "apps", "diffusion_control",
+        "exec.py"))
+    import smarties_tpu
+    from smarties_tpu.utils.config import HyperParameters
+    e = smarties_tpu.Engine([])
+    e.setNEnvironments(2)
+    e.setNworkersPerEnvironment(2)
+    e.setSettings(HyperParameters(minTotObsNum=128, maxTotObsNum=1024,
+                                  batchSize=32, nnLayerSizes=[16, 16]))
+    e.setNTrainSteps(30)
+    e.setMaxEpisodeLength(mod["EP_LEN"] + 1)
+    e.run(mod["app_main"], max_wall_s=240)
+    assert e.n_grad_steps >= 30
+    assert int(e.replay.n_stored_steps()) > 0
