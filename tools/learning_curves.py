@@ -75,10 +75,13 @@ COMBOS = {
         env="cartpole", recipe="ACER",
         over={"minTotObsNum": 65536, "maxTotObsNum": 131072},
         budget=1_000_000, wall=900, n_envs=1024),
+    # NAF's quadratic advantage is a weak fit for bang-bang cart-pole
+    # (reference-known); more exploration + longer training raises it
     "naf_cartpole": dict(
         env="cartpole", recipe="NAF",
-        over={"minTotObsNum": 65536, "maxTotObsNum": 262144},
-        budget=1_500_000, wall=900, n_envs=1024),
+        over={"explNoise": 0.4, "minTotObsNum": 65536,
+              "maxTotObsNum": 262144},
+        budget=3_000_000, wall=900, n_envs=1024),
     "mixedpg_pendulum": dict(
         env="pendulum", recipe="VRACER",
         over={"learner": "MixedPG", "gamma": 0.99,
@@ -90,9 +93,13 @@ COMBOS = {
         over={"gamma": 0.99, "minTotObsNum": 65536,
               "maxTotObsNum": 131072},
         budget=1_000_000, wall=900, n_envs=1024),
+    # acrobot is exploration-bound: the DQN recipe's near-greedy
+    # Boltzmann (explNoise 0.05) never reaches the goal; temperature 1.0
+    # with annealing solves it (tuned recipe, BASELINE "tuned allowed")
     "dqn_acrobot": dict(
         env="acrobot", recipe="DQN",
         over={"clipImpWeight": 4.0, "returnsEstimator": "retrace",
+              "explNoise": 1.0, "epsAnneal": 1e-6,
               "minTotObsNum": 65536, "maxTotObsNum": 262144},
         budget=1_000_000, wall=900, n_envs=1024),
     "vracer_mountaincar": dict(
