@@ -115,9 +115,14 @@ def stacked_states(rs: rb.ReplayState, ep, t, n_appended: int):
 def gather_minibatch(rs: rb.ReplayState, ep, t,
                      per_w: Optional[jnp.ndarray] = None,
                      n_appended: int = 0) -> MiniBatch:
-    s_t = stacked_states(rs, ep, t, n_appended)
     t1 = jnp.minimum(t + 1, rs.max_len)
-    s_t1 = stacked_states(rs, ep, t1, n_appended)
+    # ONE gather for the t and t+1 states (identical values to two
+    # separate gathers): the backend's ~25us/kernel latency floor makes
+    # kernel count, not bytes, the cost of small-model train steps
+    B = ep.shape[0]
+    s_cat = stacked_states(rs, jnp.concatenate([ep, ep]),
+                           jnp.concatenate([t, t1]), n_appended)
+    s_t, s_t1 = s_cat[:B], s_cat[B:]
     length = rs.length[ep]
     is_last = (t + 1) == length
     terminal_next = is_last & rs.terminal[ep]
