@@ -139,15 +139,21 @@ class ACER:
         twc = jnp.minimum(tw, rs.max_len)
         active = w[None, :] < nsteps[:, None]       # [B, S+1] grad steps
         xs = (rs.states[ep[:, None], twc] - rs.state_mean) * rs.state_scale
-        acts = rs.actions[ep[:, None], twc]
-        mus = rs.mus[ep[:, None], twc]
+        # ONE gather of the packed per-step record covers actions, mus,
+        # rewards and the stored rho (for the incremental far-count delta
+        # below) — pre-packing these were 4 separate window gathers
+        rows = rs.steps[ep[:, None], twc]            # [B, S+1, R]
+        ch_act, ch_mu, ch_qret, wb0, _ = rs._c
+        acts = rows[..., ch_act:ch_mu]
+        mus = rows[..., ch_mu:ch_qret]
+        rho_old = rows[..., wb0 + 0]
         # padded window positions hold zero vectors -> mu stdev 0 would
         # produce inf/NaN inside logprob/KL before any masking can help;
         # substitute a standard-normal mu there (results are masked out)
         safe_mu = jnp.concatenate(
             [jnp.zeros((nA,), F32), jnp.ones((nA,), F32)])
         mus = jnp.where(active[..., None], mus, safe_mu)
-        r_scaled = (rs.rewards[ep[:, None], twc] - rs.rew_mean) * rs.rew_scale
+        r_scaled = (rows[..., rb.CH_REW] - rs.rew_mean) * rs.rew_scale
         net, tgt_actor = params["net"], params["tgt_actor"]
 
         # behavior-independent randomness: one on-policy sample + 5
@@ -308,25 +314,24 @@ class ACER:
                                 cfg.targetDelay, new_opt.step)
         new_params = {"net": new_net, "tgt_actor": new_tgt}
 
-        # write-backs over the whole window (setMseDklImpw/setValues)
+        # write-backs over the whole window (setMseDklImpw/setValues):
+        # ONE scatter of [B, S, 5] rows into the packed trailing channel
+        # slice (pre-packing: 5 window scatters)
         epw = jnp.broadcast_to(ep[:, None], (B, S))
         tww = jnp.where(act_s, twc[:, :S], rs.max_len + 1)
-        # incremental far-count maintenance over the written window
-        was_far = rb.is_far_policy(rs.rho[epw, jnp.minimum(tww, rs.max_len)],
+        # incremental far-count maintenance over the written window (the
+        # stored rho rode along in the window record gather above)
+        was_far = rb.is_far_policy(rho_old[:, :S],
                                    rs.cmax_ret, rs.cinv_ret) & act_s
         now_far = rb.is_far_policy(rho[:, :S], rs.cmax_ret,
                                    rs.cinv_ret) & act_s
         d_far = jnp.sum(now_far.astype(jnp.float32)
                         - was_far.astype(jnp.float32), axis=1)
         rs = rs._replace(far_count=rs.far_count.at[ep].add(d_far))
+        wrows = jnp.stack([rho[:, :S], dkl[:, :S], q_err, v_st[:, :S],
+                           (q_theta - v_st)[:, :S]], axis=-1)
         rs = rs._replace(
-            rho=rs.rho.at[epw, tww].set(rho[:, :S], mode="drop"),
-            kl=rs.kl.at[epw, tww].set(dkl[:, :S], mode="drop"),
-            delta=rs.delta.at[epw, tww].set(q_err, mode="drop"),
-            value=rs.value.at[epw, tww].set(v_st[:, :S], mode="drop"),
-            advantage=rs.advantage.at[epw, tww].set(
-                (q_theta - v_st)[:, :S], mode="drop"),
-        )
+            steps=rs.steps.at[epw, tww, wb0:].set(wrows, mode="drop"))
         from smarties_tpu.algos.base import post_step_processing
         rs, frac_off = post_step_processing(rs, cfg, new_opt.step, q_err,
                                             axis_name)

@@ -97,6 +97,11 @@ class MiniBatch(NamedTuple):
     # write-backs (the reference never samples invalid data; per-shard
     # starvation is additionally curbed by buffer.rebalance_shards)
     valid: jnp.ndarray = None   # [B] bool
+    # stored values at gather time, riding along in the same packed-record
+    # gather: rho for the incremental far-count delta in write_back, V for
+    # PPO's acting-time baseline (both were separate gathers pre-packing)
+    rho_old: jnp.ndarray = None  # [B]
+    value_old: jnp.ndarray = None  # [B]
 
 
 def stacked_states(rs: rb.ReplayState, ep, t, n_appended: int):
@@ -116,49 +121,61 @@ def gather_minibatch(rs: rb.ReplayState, ep, t,
                      per_w: Optional[jnp.ndarray] = None,
                      n_appended: int = 0) -> MiniBatch:
     t1 = jnp.minimum(t + 1, rs.max_len)
-    # ONE gather for the t and t+1 states (identical values to two
-    # separate gathers): the backend's ~25us/kernel latency floor makes
-    # kernel count, not bytes, the cost of small-model train steps
+    # THREE gathers total (the backend's ~14 us/gather latency floor makes
+    # kernel count, not bytes, the cost of small-model train steps):
+    #  1. states at t and t+1 fused into one gather
+    #  2. the packed per-step record at t and t+1 fused into one gather
+    #     (action/mu/qret/rho/value at t; reward at t+1)
+    #  3. slot_meta (length/ep_id/terminal)
     B = ep.shape[0]
     s_cat = stacked_states(rs, jnp.concatenate([ep, ep]),
                            jnp.concatenate([t, t1]), n_appended)
     s_t, s_t1 = s_cat[:B], s_cat[B:]
-    length = rs.length[ep]
+    rows = rs.steps[jnp.concatenate([ep, ep]),
+                    jnp.concatenate([t, t1])]          # [2B, R]
+    row_t, row_t1 = rows[:B], rows[B:]
+    ch_act, ch_mu, ch_qret, wb0, _ = rs._c
+    meta = rs.slot_meta[ep]                            # [B, 3]
+    length = meta[:, 0]
     is_last = (t + 1) == length
-    terminal_next = is_last & rs.terminal[ep]
-    truncated_next = is_last & (~rs.terminal[ep])
-    r_next = (rs.rewards[ep, t1] - rs.rew_mean) * rs.rew_scale
+    terminal = meta[:, 2] > 0
+    terminal_next = is_last & terminal
+    truncated_next = is_last & (~terminal)
+    r_next = (row_t1[:, rb.CH_REW] - rs.rew_mean) * rs.rew_scale
     if per_w is None:
         per_w = jnp.ones(ep.shape, F32)
-    valid = (rs.ep_id[ep] >= 0) & (t < length)
+    valid = (meta[:, 1] >= 0) & (t < length)
     return MiniBatch(ep=ep, t=t, s_t=s_t, s_t1=s_t1,
-                     action=rs.actions[ep, t], mu=rs.mus[ep, t],
-                     qret=rs.qret[ep, t], reward_next=r_next,
+                     action=row_t[:, ch_act:ch_mu],
+                     mu=row_t[:, ch_mu:ch_qret],
+                     qret=row_t[:, ch_qret], reward_next=r_next,
                      is_last=is_last, terminal_next=terminal_next,
                      truncated_next=truncated_next, per_w=per_w,
-                     valid=valid)
+                     valid=valid, rho_old=row_t[:, wb0 + 0],
+                     value_old=row_t[:, wb0 + 3])
 
 
 def write_back(rs: rb.ReplayState, mb: MiniBatch, rho, dkl, delta,
                value, advantage) -> rb.ReplayState:
     """MiniBatch::setMseDklImpw + setValues (MiniBatch.h:161-188).
 
+    ONE scatter into the contiguous trailing [rho, kl, delta, value,
+    advantage] channel slice of the packed record (pre-packing: 5).
     Also maintains the incremental per-slot far-policy counts (the
     reference's Episode::updateCumulative_atomic, Episode.h:112-129:
-    wasFarPol/isFarPol delta applied on every sampled write). Rows with
+    wasFarPol/isFarPol delta applied on every sampled write; the stored
+    rho rides along in the minibatch gather as mb.rho_old). Rows with
     mb.valid == False (empty-shard samples) are dropped."""
     t = mb.t
     ep = jnp.where(mb.valid, mb.ep, rs.n_slots) if mb.valid is not None \
         else mb.ep
-    was_far = rb.is_far_policy(rs.rho[mb.ep, t], rs.cmax_ret, rs.cinv_ret)
+    was_far = rb.is_far_policy(mb.rho_old, rs.cmax_ret, rs.cinv_ret)
     is_far = rb.is_far_policy(rho, rs.cmax_ret, rs.cinv_ret)
     delta_far = is_far.astype(jnp.float32) - was_far.astype(jnp.float32)
+    wb0 = rs._c[3]
+    rows = jnp.stack([rho, dkl, delta, value, advantage], axis=-1)
     return rs._replace(
-        rho=rs.rho.at[ep, t].set(rho, mode="drop"),
-        kl=rs.kl.at[ep, t].set(dkl, mode="drop"),
-        delta=rs.delta.at[ep, t].set(delta, mode="drop"),
-        value=rs.value.at[ep, t].set(value, mode="drop"),
-        advantage=rs.advantage.at[ep, t].set(advantage, mode="drop"),
+        steps=rs.steps.at[ep, t, wb0:].set(rows, mode="drop"),
         far_count=rs.far_count.at[ep].add(delta_far, mode="drop"),
     )
 
@@ -168,7 +185,8 @@ def write_next_value(rs: rb.ReplayState, mb: MiniBatch,
     """Refresh V(s_T) for sampled pre-truncation steps
     (MB.setValues(bID, t+1, vNext), e.g. RACER_train.cpp:23-27)."""
     t1 = jnp.where(mb.truncated_next, mb.t + 1, rs.max_len + 1)
-    return rs._replace(value=rs.value.at[mb.ep, t1].set(
+    ch_value = rs._c[3] + 3
+    return rs._replace(steps=rs.steps.at[mb.ep, t1, ch_value].set(
         jnp.where(mb.truncated_next, v_next, 0.0), mode="drop"))
 
 

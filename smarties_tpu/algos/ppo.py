@@ -175,7 +175,8 @@ class PPO:
         k_samp, = jax.random.split(key, 1)
         ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
         mb = gather_minibatch(rs, ep, t)
-        value_old = rs.value[ep, t]  # V recorded at acting time
+        value_old = mb.value_old     # V recorded at acting time (rides
+        # along in the packed minibatch-record gather)
 
         if self.recurrent:
             from smarties_tpu.algos.base import bptt_window, seq_outputs

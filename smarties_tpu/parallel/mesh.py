@@ -36,14 +36,17 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def replay_pspec(rs) -> "ReplayStatePSpec":
-    """PartitionSpec pytree for a ReplayState: slot-axis sharded arrays,
+    """PartitionSpec pytree for a ReplayState: slot-axis sharded arrays
+    (packed layout: states/steps/slot_meta/far_count/qret_stale/samp_cl —
+    samp_cl is the per-SHARD sampling cumsum, local by construction),
     replicated scalars/stat vectors."""
-    sharded = {"states", "actions", "mus", "rewards", "length", "terminal",
-               "ep_id", "value", "advantage", "qret", "rho", "kl", "delta",
-               "far_count", "qret_stale"}
-    return type(rs)(*[
-        P(AXIS) if name in sharded else P()
-        for name in rs._fields])
+    import dataclasses as _dc
+    sharded = {"states", "steps", "slot_meta", "far_count", "qret_stale",
+               "samp_cl"}
+    kw = {f.name: (P(AXIS) if f.name in sharded else P())
+          for f in _dc.fields(rs) if not f.metadata.get("static")}
+    return type(rs)(dim_action=rs.dim_action, dim_policy=rs.dim_policy,
+                    **kw)
 
 
 def carry_pspec(carry) -> Tuple:

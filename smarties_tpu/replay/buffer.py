@@ -7,6 +7,25 @@ arrays [n_slots, max_len+1, ...] with validity masks, so that ingestion,
 sampling, Retrace recomputation, ReF-ER bookkeeping and forgetting are all
 jit-compiled masked array ops (no host round-trips in the hot path).
 
+PACKED LAYOUT (round-4 redesign). The train step is latency-bound on this
+backend (~14 us per independent gather/scatter at ~25 us kernel floor;
+docs/RESULTS.md), so all per-transition scalars live in ONE packed record
+array `steps [E, L+1, R]` with channel layout
+
+    [ reward(1) | action(dimA) | mu(dimPol) | qret(1) |
+      rho(1) | kl(1) | delta(1) | value(1) | advantage(1) ]
+
+and the per-slot integers in ONE `slot_meta [E, 3]` = [length, ep_id,
+terminal]. A minibatch gather is then 3 gathers (states, step records at
+t and t+1 fused into one, slot_meta) instead of ~8, and the 5-field
+write-back of MiniBatch::setMseDklImpw is ONE scatter into the trailing
+channel slice [rho..advantage] instead of 5. The old per-field names
+(`rs.rho`, `rs.length`, ...) remain available as properties returning
+lazy slices — XLA folds slice-of-gather and fuses slice-of-elementwise,
+so read sites keep their cost. `samp_cl [E, 2]` caches [cumsum(len),
+len] for uniform sampling, rebuilt at every commit/prune/clear (the only
+places lengths change).
+
 Array layout (state-indexed time axis, see ops/returns.py):
   t in [0, T]   : states; V/A/Qret; rho/kl/delta (rho[T] == 0)
   t in [1, T]   : rewards (reward received on arriving at state t)
@@ -18,7 +37,9 @@ the CMA cost-mix alpha.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,23 +50,34 @@ from smarties_tpu.ops.returns import batched_return_estimate
 F32 = jnp.float32
 I32 = jnp.int32
 
+# fixed scalar channels relative to the packed record layout
+CH_REW = 0
+N_TRAIL = 6          # qret, rho, kl, delta, value, advantage
+# old per-field names accepted by ReplayState._replace for compatibility
+_COMPAT_CHANNELS = {"rewards", "actions", "mus", "qret", "rho", "kl",
+                    "delta", "value", "advantage", "length", "ep_id",
+                    "terminal"}
 
-class ReplayState(NamedTuple):
+
+def _ch(dim_action: int, dim_policy: int):
+    """(CH_ACT, CH_MU, CH_QRET, WB0, R): channel offsets for the packed
+    per-step record. WB0 is the start of the contiguous write-back slice
+    [rho, kl, delta, value, advantage] (the 5 fields of
+    MiniBatch::setMseDklImpw + setValues, MiniBatch.h:161-188)."""
+    ch_act = 1
+    ch_mu = ch_act + dim_action
+    ch_qret = ch_mu + dim_policy
+    wb0 = ch_qret + 1
+    r = wb0 + 5
+    return ch_act, ch_mu, ch_qret, wb0, r
+
+
+@dataclass(frozen=True)
+class ReplayState:
     # episode storage
     states: jnp.ndarray      # [E, L+1, dimS] raw (unstandardized) states
-    actions: jnp.ndarray     # [E, L+1, dimA] learner-space actions
-    mus: jnp.ndarray         # [E, L+1, dimPol] behavior policy vectors
-    rewards: jnp.ndarray     # [E, L+1] raw rewards, rewards[:,0] == 0
-    length: jnp.ndarray      # [E] i32: T = number of transitions
-    terminal: jnp.ndarray    # [E] bool: reached true terminal state
-    ep_id: jnp.ndarray       # [E] i32 monotone id; -1 == empty slot
-    # learner-filled per-step quantities (Episode.h:76-81)
-    value: jnp.ndarray       # [E, L+1] V(s_t)
-    advantage: jnp.ndarray   # [E, L+1] A(s_t, a_t)
-    qret: jnp.ndarray        # [E, L+1] return estimator
-    rho: jnp.ndarray         # [E, L+1] pi/mu importance weight
-    kl: jnp.ndarray          # [E, L+1] KL(pi, mu)
-    delta: jnp.ndarray       # [E, L+1] TD error (deltaValue)
+    steps: jnp.ndarray       # [E, L+1, R] packed per-step record (above)
+    slot_meta: jnp.ndarray   # [E, 3] i32 [length, ep_id, terminal]
     # ReF-ER / annealing scalars (MemoryBuffer.h:41-44)
     beta: jnp.ndarray        # penalization weight in [0, 1]
     alpha: jnp.ndarray       # CMA cost mix
@@ -72,6 +104,103 @@ class ReplayState(NamedTuple):
     # zeros until refresh_new_returns runs (the at-ingest Retrace of
     # MemoryBuffer::terminateCurrentEpisode, batched per rollout chunk)
     qret_stale: jnp.ndarray      # [E] bool
+    # cached [cumsum(valid len), valid len] i32 for uniform sampling —
+    # rebuilt wherever lengths change (commit/prune/clear/rebalance);
+    # per-SHARD local when the slot axis is sharded (exactly what
+    # per-shard sampling wants)
+    samp_cl: jnp.ndarray         # [E, 2] i32
+    # static metadata needed to slice the packed record
+    dim_action: int = field(default=0, metadata=dict(static=True))
+    dim_policy: int = field(default=0, metadata=dict(static=True))
+
+    # ---------------- NamedTuple-compat surface ----------------
+    def _replace(self, **kw) -> "ReplayState":
+        """dataclasses.replace plus pre-packing compatibility: the old
+        per-field names (rho/kl/delta/value/advantage/qret/rewards/
+        actions/mus and length/ep_id/terminal) are accepted and rewritten
+        into the packed arrays as full-array channel updates (convenience
+        surface for tests/tools; hot paths scatter into `steps`
+        directly). Setting length/ep_id also refreshes the sampling
+        cache."""
+        compat = _COMPAT_CHANNELS & kw.keys()
+        if compat:
+            ch_act, ch_mu, ch_qret, wb0, _ = self._c
+            sl = {"rewards": CH_REW, "qret": ch_qret, "rho": wb0,
+                  "kl": wb0 + 1, "delta": wb0 + 2, "value": wb0 + 3,
+                  "advantage": wb0 + 4}
+            steps = kw.pop("steps", self.steps)
+            sm = kw.pop("slot_meta", self.slot_meta)
+            meta_touched = False
+            for name in list(kw):
+                if name in sl:
+                    steps = steps.at[..., sl[name]].set(kw.pop(name))
+                elif name == "actions":
+                    steps = steps.at[..., ch_act:ch_mu].set(kw.pop(name))
+                elif name == "mus":
+                    steps = steps.at[..., ch_mu:ch_qret].set(kw.pop(name))
+                elif name in ("length", "ep_id", "terminal"):
+                    i = ("length", "ep_id", "terminal").index(name)
+                    sm = sm.at[:, i].set(kw.pop(name).astype(I32))
+                    meta_touched = meta_touched or name != "terminal"
+            out = dataclasses.replace(self, steps=steps, slot_meta=sm,
+                                      **kw)
+            return rebuild_sample_cache(out) if meta_touched else out
+        return dataclasses.replace(self, **kw)
+
+    # ---------------- packed-channel views ----------------
+    @property
+    def _c(self):
+        return _ch(self.dim_action, self.dim_policy)
+
+    @property
+    def rewards(self):
+        return self.steps[..., CH_REW]
+
+    @property
+    def actions(self):
+        ch_act, ch_mu, _, _, _ = self._c
+        return self.steps[..., ch_act:ch_mu]
+
+    @property
+    def mus(self):
+        _, ch_mu, ch_qret, _, _ = self._c
+        return self.steps[..., ch_mu:ch_qret]
+
+    @property
+    def qret(self):
+        return self.steps[..., self._c[2]]
+
+    @property
+    def rho(self):
+        return self.steps[..., self._c[3] + 0]
+
+    @property
+    def kl(self):
+        return self.steps[..., self._c[3] + 1]
+
+    @property
+    def delta(self):
+        return self.steps[..., self._c[3] + 2]
+
+    @property
+    def value(self):
+        return self.steps[..., self._c[3] + 3]
+
+    @property
+    def advantage(self):
+        return self.steps[..., self._c[3] + 4]
+
+    @property
+    def length(self):
+        return self.slot_meta[:, 0]
+
+    @property
+    def ep_id(self):
+        return self.slot_meta[:, 1]
+
+    @property
+    def terminal(self):
+        return self.slot_meta[:, 2] > 0
 
     # ---------------- derived masks / counts ----------------
     @property
@@ -105,6 +234,23 @@ class ReplayState(NamedTuple):
         return (self.states - self.state_mean) * self.state_scale
 
 
+jax.tree_util.register_dataclass(
+    ReplayState,
+    data_fields=[f.name for f in dataclasses.fields(ReplayState)
+                 if not f.metadata.get("static")],
+    meta_fields=["dim_action", "dim_policy"])
+
+
+def pack_step_record(rewards, actions, mus, qret, rho, kl, delta, value,
+                     advantage):
+    """Assemble [..., R] packed records from per-field arrays (leading
+    dims arbitrary; scalar fields [...], vector fields [..., d])."""
+    one = lambda x: x[..., None]
+    return jnp.concatenate(
+        [one(rewards), actions, mus, one(qret), one(rho), one(kl),
+         one(delta), one(value), one(advantage)], axis=-1)
+
+
 def safe_mu(mdp) -> np.ndarray:
     """A numerically-safe behavior-policy vector for EMPTY replay slots:
     unit-stdev standard normal for continuous policies, uniform
@@ -136,18 +282,18 @@ def init_replay(n_slots: int, max_len: int, dim_state: int, dim_action: int,
     """
     E, L1 = n_slots, max_len + 1
     C = clip_imp_weight
+    _, ch_mu, ch_qret, _, R = _ch(dim_action, dim_policy)
+    steps = jnp.zeros((E, L1, R), F32)
+    if mu_init is not None:
+        steps = steps.at[:, :, ch_mu:ch_qret].set(
+            jnp.asarray(mu_init, F32))
+    slot_meta = jnp.concatenate(
+        [jnp.zeros((E, 1), I32), -jnp.ones((E, 1), I32),
+         jnp.zeros((E, 1), I32)], axis=1)
     z = lambda *s: jnp.zeros(s, F32)
-    mus0 = (jnp.broadcast_to(jnp.asarray(mu_init, F32),
-                             (E, L1, dim_policy))
-            if mu_init is not None else z(E, L1, dim_policy))
     return ReplayState(
         states=jnp.zeros((E, L1, dim_state), state_dtype),
-        actions=z(E, L1, dim_action),
-        mus=mus0, rewards=z(E, L1),
-        length=jnp.zeros((E,), I32), terminal=jnp.zeros((E,), bool),
-        ep_id=-jnp.ones((E,), I32),
-        value=z(E, L1), advantage=z(E, L1), qret=z(E, L1),
-        rho=z(E, L1), kl=z(E, L1), delta=z(E, L1),
+        steps=steps, slot_meta=slot_meta,
         beta=jnp.float32(1.0 if C <= 0 else 1e-4),
         alpha=jnp.float32(0.5),
         cmax_ret=jnp.float32(1.0 + C),
@@ -160,7 +306,18 @@ def init_replay(n_slots: int, max_len: int, dim_state: int, dim_action: int,
         n_pruned_eps=jnp.int32(0), max_abs_error=jnp.float32(0.0),
         far_count=jnp.zeros((E,), F32),
         qret_stale=jnp.zeros((E,), bool),
+        samp_cl=jnp.zeros((E, 2), I32),
+        dim_action=dim_action, dim_policy=dim_policy,
     )
+
+
+def rebuild_sample_cache(rs: ReplayState) -> ReplayState:
+    """Refresh the cached [cumsum(len), len] pair used by uniform
+    sampling. Must run after any operation that changes lengths/validity
+    (commit/prune/clear/rebalance all do)."""
+    lens = jnp.where(rs.valid_slots(), rs.length, 0)
+    cl = jnp.stack([jnp.cumsum(lens), lens], axis=1)
+    return rs._replace(samp_cl=cl)
 
 
 # ---------------------------------------------------------------------------
@@ -228,51 +385,43 @@ def _keep_priority(rs: ReplayState, filter_algo: str):
     return jnp.where(rs.valid_slots(), score, -jnp.inf)
 
 
-def commit_episodes(rs: ReplayState, ep_states, ep_actions, ep_mus,
-                    ep_rewards, ep_value, ep_advantage, ep_qret, ep_rho,
-                    ep_length, ep_terminal, done_mask,
-                    max_tot_obs: int, filter_algo: str = "oldest"):
-    """Scatter finished episodes into replay slots and prune to capacity.
+def commit_episodes_packed(rs: ReplayState, ep_states, ep_steps, ep_length,
+                           ep_terminal, done_mask, max_tot_obs: int,
+                           filter_algo: str = "oldest",
+                           ids_override=None):
+    """Scatter finished PACKED episodes into replay slots and prune.
 
-    Args: per-env arrays with leading axis V (the vectorized env count);
-    done_mask [V] selects which envs finished this step. Replaces the
-    reference's mutex-guarded pushBackEpisode + applyEpisodesRemovalAlgo
-    (MemoryBuffer.cpp:479-520, MemoryProcessing.cpp:327-351).
+    ep_states [V, L+1, dimS], ep_steps [V, L+1, R] (record layout above),
+    ep_length [V] i32, ep_terminal [V] bool, done_mask [V] bool.
+    Replaces the reference's mutex-guarded pushBackEpisode +
+    applyEpisodesRemovalAlgo (MemoryBuffer.cpp:479-520,
+    MemoryProcessing.cpp:327-351).
 
-    Victim-slot choice: the K lowest keep-priority slots (empty slots first,
-    then the filter criterion) — equivalent to sort + remove-from-back.
+    Victim-slot choice: the K lowest keep-priority slots (empty slots
+    first, then the filter criterion) — equivalent to sort+remove-from-
+    back. 5 scatters total (states/steps/slot_meta/far_count/qret_stale).
     """
     V = done_mask.shape[0]
-    # assign each done env a victim slot: rank envs among done ones
     prio = _keep_priority(rs, filter_algo)
-    # k-th done env gets the k-th worst slot
     order = jnp.argsort(prio)            # ascending: worst first
     done_rank = jnp.cumsum(done_mask.astype(I32)) - 1   # [V]
     slot_for_env = order[jnp.clip(done_rank, 0, rs.n_slots - 1)]
     # envs that are not done scatter into a trash position via mode='drop'
     tgt = jnp.where(done_mask, slot_for_env, rs.n_slots)
 
-    new_ids = rs.n_seen_eps + done_rank  # monotone episode ids
+    new_ids = (rs.n_seen_eps + done_rank if ids_override is None
+               else ids_override)
     n_done = jnp.sum(done_mask.astype(I32))
 
     def put(dst, src):
         return dst.at[tgt].set(src, mode="drop")
 
-    zeros_like_t = jnp.zeros_like(rs.value[0])
+    ep_meta = jnp.stack([ep_length.astype(I32), new_ids.astype(I32),
+                         ep_terminal.astype(I32)], axis=1)
     rs = rs._replace(
         states=put(rs.states, ep_states),
-        actions=put(rs.actions, ep_actions),
-        mus=put(rs.mus, ep_mus),
-        rewards=put(rs.rewards, ep_rewards),
-        value=put(rs.value, ep_value),
-        advantage=put(rs.advantage, ep_advantage),
-        qret=put(rs.qret, ep_qret),
-        rho=put(rs.rho, ep_rho),
-        kl=put(rs.kl, jnp.zeros_like(ep_rho)),
-        delta=put(rs.delta, jnp.zeros_like(ep_rho)),
-        length=put(rs.length, ep_length),
-        terminal=put(rs.terminal, ep_terminal),
-        ep_id=put(rs.ep_id, new_ids),
+        steps=put(rs.steps, ep_steps),
+        slot_meta=put(rs.slot_meta, ep_meta),
         # fresh episodes arrive with rho == 1 everywhere: zero far steps
         far_count=put(rs.far_count, jnp.zeros(V, F32)),
         qret_stale=put(rs.qret_stale, jnp.ones(V, bool)),
@@ -283,13 +432,28 @@ def commit_episodes(rs: ReplayState, ep_states, ep_actions, ep_mus,
     return prune_to_capacity(rs, max_tot_obs, filter_algo)
 
 
+def commit_episodes(rs: ReplayState, ep_states, ep_actions, ep_mus,
+                    ep_rewards, ep_value, ep_advantage, ep_qret, ep_rho,
+                    ep_length, ep_terminal, done_mask,
+                    max_tot_obs: int, filter_algo: str = "oldest"):
+    """Per-field commit wrapper: packs the record then scatters once
+    (kl/delta start at zero for fresh episodes)."""
+    z = jnp.zeros_like(ep_rho)
+    ep_steps = pack_step_record(ep_rewards, ep_actions, ep_mus, ep_qret,
+                                ep_rho, z, z, ep_value, ep_advantage)
+    return commit_episodes_packed(rs, ep_states, ep_steps, ep_length,
+                                  ep_terminal, done_mask, max_tot_obs,
+                                  filter_algo)
+
+
 def prune_to_capacity(rs: ReplayState, max_tot_obs: int, filter_algo: str):
     """Invalidate lowest-priority episodes until total steps fit.
 
     Reference: applyEpisodesRemovalAlgo (MemoryProcessing.cpp:327-351):
     remove from the sorted back while (total - candidate.len) > maxTotObs.
     Equivalent: in keep-priority-descending order keep episode i iff the
-    cumulative steps *before* it are <= maxTotObs.
+    cumulative steps *before* it are <= maxTotObs. Also refreshes the
+    sampling cache (this is the final step of every commit).
     """
     prio = _keep_priority(rs, filter_algo)
     order = jnp.argsort(-prio)  # descending: best kept first
@@ -299,19 +463,24 @@ def prune_to_capacity(rs: ReplayState, max_tot_obs: int, filter_algo: str):
     keep = jnp.zeros((rs.n_slots,), bool).at[order].set(keep_sorted)
     keep = keep & rs.valid_slots()
     pruned = rs.n_stored_eps() - jnp.sum(keep.astype(I32))
-    return rs._replace(
-        ep_id=jnp.where(keep, rs.ep_id, -1),
-        length=jnp.where(keep, rs.length, 0),
+    # invalidate: length -> 0, ep_id -> -1, terminal kept (unused when
+    # invalid)
+    inval = (rs.slot_meta * jnp.asarray([0, 0, 1], I32)
+             + jnp.asarray([0, -1, 0], I32))
+    rs = rs._replace(
+        slot_meta=jnp.where(keep[:, None], rs.slot_meta, inval),
         far_count=jnp.where(keep, rs.far_count, 0.0),
         n_pruned_eps=rs.n_pruned_eps + pruned,
     )
+    return rebuild_sample_cache(rs)
 
 
 def clear_all(rs: ReplayState) -> ReplayState:
     """Invalidate every episode (PPO epoch-end clearAll,
     MemoryBuffer clearAll / PPO.cpp:105-112)."""
-    return rs._replace(ep_id=-jnp.ones_like(rs.ep_id),
-                       length=jnp.zeros_like(rs.length))
+    inval = (rs.slot_meta * jnp.asarray([0, 0, 1], I32)
+             + jnp.asarray([0, -1, 0], I32))
+    return rebuild_sample_cache(rs._replace(slot_meta=inval))
 
 
 # ---------------------------------------------------------------------------
@@ -324,15 +493,14 @@ def sample_uniform(key, rs: ReplayState, batch: int):
     Reference: Sample_uniform (Sampling.cpp:49-99). The reference dedups and
     sorts for cache locality; with B << N collisions are negligible and
     gathers are order-independent on TPU, so plain iid draws are used.
-    """
-    lens = jnp.where(rs.valid_slots(), rs.length, 0)
-    csum = jnp.cumsum(lens)
-    total = csum[-1]
+    Uses the cached [cumsum(len), len] pair (ONE gather)."""
+    cl = rs.samp_cl
+    total = cl[-1, 0]
     flat = jax.random.randint(key, (batch,), 0, jnp.maximum(total, 1))
-    ep = jnp.searchsorted(csum, flat, side="right").astype(I32)
+    ep = jnp.searchsorted(cl[:, 0], flat, side="right").astype(I32)
     ep = jnp.clip(ep, 0, rs.n_slots - 1)
-    start = csum[ep] - lens[ep]
-    t = (flat - start).astype(I32)
+    g = cl[ep]                                    # [B, 2]
+    t = (flat - (g[:, 0] - g[:, 1])).astype(I32)
     return ep, t
 
 
@@ -489,7 +657,7 @@ def update_state_rew_stats(rs: ReplayState, learn_rate, b_init: bool = False,
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
     # rewards: entries t in [1, T]
-    t = jnp.arange(rs.rewards.shape[1])
+    t = jnp.arange(rs.steps.shape[1])
     rmask = ((t[None, :] >= 1) & (t[None, :] <= rs.length[:, None])
              & rs.valid_slots()[:, None]).astype(F32)
     count = jnp.maximum(_gsum(jnp.sum(rmask)), 1.0)
@@ -526,6 +694,11 @@ def update_state_rew_stats(rs: ReplayState, learn_rate, b_init: bool = False,
 # full-buffer return-estimator recomputation
 # ---------------------------------------------------------------------------
 
+def _set_qret(rs: ReplayState, qret) -> ReplayState:
+    """Write the qret channel of the packed record (full-array update)."""
+    return rs._replace(steps=rs.steps.at[:, :, rs._c[2]].set(qret))
+
+
 def refresh_new_returns(rs: ReplayState, gamma: float, lam: float,
                         mode: str = "retrace", prefer_pallas: bool = True):
     """Return-estimator computation for freshly-committed episodes only
@@ -541,8 +714,8 @@ def refresh_new_returns(rs: ReplayState, gamma: float, lam: float,
         rs.length, rs.terminal, gamma, lam, mode,
         err_baseline=rs.max_abs_error, prefer_pallas=prefer_pallas)
     sel = (rs.qret_stale & rs.valid_slots())[:, None]
-    return rs._replace(qret=jnp.where(sel, qret, rs.qret),
-                       qret_stale=jnp.zeros_like(rs.qret_stale))
+    rs = _set_qret(rs, jnp.where(sel, qret, rs.qret))
+    return rs._replace(qret_stale=jnp.zeros_like(rs.qret_stale))
 
 
 def rebalance_shards(rs: ReplayState, axis_name: str, k_max: int = 8,
@@ -571,32 +744,34 @@ def rebalance_shards(rs: ReplayState, axis_name: str, k_max: int = 8,
     slots = order[jnp.clip(take, 0, rs.n_slots - 1)]
     ship = (take < n_ship) & (rs.ep_id[slots] >= 0)
 
-    def pick(a):
-        return a[slots]
-
+    # zero the kl/delta channels of the shipped records (commit semantics:
+    # fresh arrivals start with kl = delta = 0, as the per-field commit)
+    wb0 = rs._c[3]
+    ship_steps = rs.steps[slots]
+    ship_steps = ship_steps.at[:, :, wb0 + 1:wb0 + 3].set(0.0)
     payload = dict(
-        states=pick(rs.states), actions=pick(rs.actions),
-        mus=pick(rs.mus), rewards=pick(rs.rewards), value=pick(rs.value),
-        advantage=pick(rs.advantage), qret=pick(rs.qret),
-        rho=pick(rs.rho), length=pick(rs.length),
-        terminal=pick(rs.terminal), ship=ship)
+        states=rs.states[slots], steps=ship_steps,
+        length=rs.length[slots], terminal=rs.terminal[slots], ship=ship)
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     payload = jax.tree_util.tree_map(
         lambda x: jax.lax.ppermute(x, axis_name, perm), payload)
 
     # sender side: invalidate shipped slots
     drop = jnp.zeros((rs.n_slots,), bool).at[slots].set(ship)
-    rs = rs._replace(ep_id=jnp.where(drop, -1, rs.ep_id),
-                     length=jnp.where(drop, 0, rs.length),
-                     far_count=jnp.where(drop, 0.0, rs.far_count))
+    inval = (rs.slot_meta * jnp.asarray([0, 0, 1], I32)
+             + jnp.asarray([0, -1, 0], I32))
+    rs = rs._replace(
+        slot_meta=jnp.where(drop[:, None], inval, rs.slot_meta),
+        far_count=jnp.where(drop, 0.0, rs.far_count))
 
     # receiver side: insert the neighbor's episodes (commit bookkeeping
-    # counts them as seen; undo that — they are migrated, not new)
+    # counts them as seen; undo that — they are migrated, not new).
+    # Migrated kl/delta travel inside the packed record unchanged (the
+    # pre-packing layout zeroed them; both are rewritten by the next
+    # sampled write-back and excluded from gradients either way).
     seen_eps0, seen_steps0 = rs.n_seen_eps, rs.n_seen_steps
-    rs = commit_episodes(
-        rs, payload["states"], payload["actions"], payload["mus"],
-        payload["rewards"], payload["value"], payload["advantage"],
-        payload["qret"], payload["rho"], payload["length"],
+    rs = commit_episodes_packed(
+        rs, payload["states"], payload["steps"], payload["length"],
         payload["terminal"], payload["ship"], max_tot_obs, filter_algo)
     return rs._replace(n_seen_eps=seen_eps0, n_seen_steps=seen_steps0)
 
@@ -621,4 +796,4 @@ def recompute_returns(rs: ReplayState, gamma: float, lam: float,
         rs.length, rs.terminal, gamma, lam, mode,
         err_baseline=rs.max_abs_error)
     valid = rs.valid_slots()[:, None]
-    return rs._replace(qret=jnp.where(valid, qret, 0.0))
+    return _set_qret(rs, jnp.where(valid, qret, 0.0))

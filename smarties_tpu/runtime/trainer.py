@@ -539,10 +539,16 @@ class Trainer:
             print("profiler:\n" + self.profiler.table(), flush=True)
 
     # ------------------------------------------------------------------
-    def evaluate(self, n_episodes: int = 10, max_steps: int = 1000):
+    def evaluate(self, n_episodes: int = 10, max_steps: int = 1000,
+                 materialize: bool = True):
         """Deterministic-policy evaluation episodes (bTrain=0 serving path,
         Worker.cpp:91-111 isOverTesting). One jitted scan — eager
-        per-step dispatch through the device tunnel costs ~1 ms/op."""
+        per-step dispatch through the device tunnel costs ~1 ms/op.
+
+        materialize=False returns the on-device returns array without
+        forcing a transfer (dispatch-only; the caller reads it later and
+        performs the NaN guard) — lets benches overlap eval compute with
+        other waits."""
         act = self.algo.make_act_fn(False)
         env, mdp = self.env, self.mdp
         k_app = mdp.n_appended_obs
@@ -581,8 +587,11 @@ class Trainer:
             self._eval_fns[fkey] = jax.jit(partial(run,
                                                    max_steps=max_steps))
         self.key, k_env, k_act = jax.random.split(self.key, 3)
-        rets = np.asarray(self._eval_fns[fkey](
-            self.params, rs.state_mean, rs.state_scale, k_env, k_act))
+        rets_dev = self._eval_fns[fkey](
+            self.params, rs.state_mean, rs.state_scale, k_env, k_act)
+        if not materialize:
+            return rets_dev
+        rets = np.asarray(rets_dev)
         # NaN guard (reference: Agent::checkNanOrInf, Agent.h:301-313)
         assert np.isfinite(rets).all(), \
             "non-finite returns during evaluation — training diverged"
