@@ -10,21 +10,30 @@ completion: execution is asynchronous and only a device->host TRANSFER
 forces it. Measured evidence (r3 probes): a jitted chunk of Q=20 vs
 Q=400 scanned train steps "completes" in the same 0.6-1.6 ms wall
 (dispatch, not compute); one dispatch of K fused cycles with a closing
-transfer costs 206 ms/cycle at K=16 and K=64 alike (real device time).
-The r01/r02 benches timed with block_until_ready, so the r02 "2.65M
-combined steps/s (667x)" headline was a dispatch-rate mirage, and the
-r02 finding "the first transfer permanently degrades later executions"
-was the same artifact inverted: after a transfer, timings become REAL.
+transfer costs the same per-cycle at K=16 and K=64 alike (real device
+time). The r01/r02 benches timed with block_until_ready, so the r02
+"2.65M combined steps/s (667x)" headline was a dispatch-rate mirage.
 Every timed phase here is therefore TRANSFER-FORCED: dispatch one big
 compiled macro, then read one scalar; wall time covers real execution.
-A canary transfer runs first (overlapped with trainer build/compiles) to
-absorb the cross-process transfer-wait (~1-6 min after any predecessor
-TPU process exits) before the clock starts.
 
-Honest single-chip numbers are ~200 us per ReF-ER grad step (the
-backend executes each small XLA kernel in ~25 us — measured floor for a
-trivial 1-op scan body — and a train step is ~8 kernels; batch-256
-128x128 MLPs are latency-bound, not FLOP-bound, on every backend).
+CAPTURE STRUCTURE (r4 redesign — stall-proof). A process's FIRST
+transfer waits out the previous TPU process's tunnel claim (~1-10 min);
+in r2/r3 the driver capture sequenced all phases behind that canary and
+starved them. Execution is asynchronous, so the fix is to DISPATCH all
+heavy compute (fused warmup + the full quality-seed training + evals +
+the atari warmup) up front while the canary waits, fence once on the
+LAST dispatch (execution is in-order: forcing the last stage-1 output
+drains the whole queue), then run each short TIMED region against an
+idle device, then read the already-computed quality results (cheap).
+A partial JSON is flushed to BENCH_partial.json after every phase so
+even a SIGKILL leaves a usable capture; SIGTERM prints the partial
+capture to stdout.
+
+Honest single-chip numbers (packed replay layout, r4): the backend
+executes each small XLA kernel in ~25 us (measured floor) and gathers/
+scatters add ~14 us each, so the per-step cost tracks kernel count, not
+FLOPs; the r4 packing collapsed the per-step scatter/gather set from
+~10 gathers + 6 scatters to 4 gathers + 3 scatters.
 
 Phases:
   fused     headline combined env+grad steps/s: ONE dispatch of K fused
@@ -35,11 +44,10 @@ Phases:
             -> 512 dense, uint8 replay) + TFLOP/s + MFU from compiled-
             module cost analysis of ONE step
   quality   episodes-to-threshold on cart-pole, reference-default
-            recipe, up to 3 seeds (BASELINE.md primary gate:
-            trailing-20-episode mean NOISY training return >= THRESHOLD,
-            + a separate noise-free 32-episode eval proving the
-            deterministic policy). Chunked macro-scan sized by the
-            remaining budget: always emits at least a partial curve.
+            recipe, 3 seeds (BASELINE.md primary gate: trailing-20-
+            episode mean NOISY training return >= THRESHOLD, + a
+            noise-free 32-episode eval proving the deterministic
+            policy). Dispatched entirely during the canary stall.
 
 The XLA compile cache persists in .jax_cache/ (shared across bench
 invocations); the process re-execs itself once to set the cache env vars
@@ -72,8 +80,9 @@ THRESHOLD, TRAIL = 150.0, 20
 PEAKS = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
          "v4": 275e12, "v6": 918e12}
 
-CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache")
+HERE = os.path.dirname(os.path.abspath(__file__))
+CACHE_DIR = os.path.join(HERE, ".jax_cache")
+PARTIAL_PATH = os.path.join(HERE, "BENCH_partial.json")
 
 
 class _Terminated(Exception):
@@ -110,8 +119,8 @@ def _force(x):
 
 def _start_canary():
     """First transfer of the process in a daemon thread: absorbs the
-    cross-process transfer wait while the main thread builds/compiles.
-    Returns (event, start_time)."""
+    cross-process transfer wait while the main thread builds/compiles/
+    dispatches. Returns (event, start_time)."""
     done = threading.Event()
 
     def work():
@@ -159,22 +168,137 @@ def _make_macro(tr, K):
     return jax.jit(macro)
 
 
-def phase_fused(budget):
-    """Headline: ONE dispatch of K fused cycles, transfer-forced."""
-    import jax
+class QualityDispatch:
+    """Quality seed: builds the trainer and DISPATCHES the full training
+    (warmup + K cycles in KC-sized jitted chunks + the deterministic
+    eval) without a single device->host transfer; `finish()` later
+    materializes the already-computed curve (cheap readbacks).
+
+    Gate definition: BASELINE.md primary gate; per-episode metric stream
+    /root/reference/source/smarties/ReplayMemory/MemoryBuffer.cpp:491-513.
+    Reference-default recipe except minTotObsNum 131072->65536 (the
+    4096-slot ring cannot hold 131k obs of short random-policy warmup
+    episodes)."""
+
+    K = 256     # total cycles -> 262144 grad steps
+    KC = 16     # cycles per jitted chunk
+    TOPK = 128  # max episode completions folded per 1-step sweep
+
+    def __init__(self, seed):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        self.seed = seed
+        tr = self.tr = _build_trainer(seed)
+        tr.cfg.minTotObsNum = tr.n_obs_b4_start = 65536
+        tr.warmup(chunk=16, blind_sweeps=65536 // 1024)
+        n_train = tr.n_envs                  # obsPerStep == 1 pacing
+        TRAIL_, TOPK = TRAIL, self.TOPK
+
+        def fold(trk, done, ret):
+            # completed lanes first; at most TOPK completions per 1-step
+            # sweep; completions beyond TOPK are counted in the overflow
+            # output instead of silently dropped (no-silent-caps rule)
+            order = jnp.argsort(~done)
+            d, r = done[order][:TOPK], ret[order][:TOPK]
+            ovf = jnp.maximum(done.sum() - TOPK, 0)
+
+            def push(t, dr):
+                ring, cnt = t
+                dd, rr = dr
+                ring2 = jnp.where(dd, ring.at[cnt % TRAIL_].set(rr), ring)
+                return (ring2, cnt + dd.astype(jnp.int32)), None
+
+            return lax.scan(push, trk, (d, r))[0], ovf
+
+        def macro(params, opt, carry, trk, base):
+            def body(c, i):
+                p, o, cr, t = c
+                p, o, cr, _ms, logs = tr._fused_cycle(p, o, cr, 1,
+                                                      n_train)
+                done, _length, ret = logs[0], logs[1], logs[2]
+                t, ovf = fold(t, done.reshape(-1), ret.reshape(-1))
+                # the reference's every-1000-grad-steps replay refresh
+                # (cadence == once per 1024-step cycle, like train_fused)
+                cr = cr._replace(replay=tr._refresh(
+                    cr.replay, (base + i + 1.0) * n_train))
+                return (p, o, cr, t), (t[1], t[0].mean(), ovf)
+
+            return lax.scan(body, (params, opt, carry, trk),
+                            jnp.arange(self.KC, dtype=jnp.float32))
+
+        jm = jax.jit(macro)
+        trk = (jnp.zeros(TRAIL), jnp.zeros((), jnp.int32))
+        p, o, carry = tr.params, tr.opt_state, tr.carry
+        self.chunks = []           # device futures: (cnts, means, ovf)
+        cycles = 0
+        while cycles < self.K:
+            (p, o, carry, trk), out = jm(p, o, carry, trk, float(cycles))
+            cycles += self.KC
+            self.chunks.append(out)
+        self.cycles = cycles
+        tr.params, tr.opt_state, tr.carry = p, o, carry
+        # dispatch the deterministic-policy proof (32-episode noise-free
+        # eval); depends on the final params, so it queues after training
+        self.eval_dev = tr.evaluate(32, materialize=False)
+
+    @property
+    def last_future(self):
+        return self.eval_dev
+
+    def finish(self):
+        """Materialize the (already-executed) curve + eval."""
+        import numpy as np
+        res = {"seed": self.seed}
+        cnts = np.concatenate([np.asarray(c) for c, _, _ in self.chunks])
+        means = np.concatenate([np.asarray(m) for _, m, _ in self.chunks])
+        overflow = int(sum(int(np.asarray(v).sum())
+                           for _, _, v in self.chunks))
+        ok = (cnts >= TRAIL) & (means >= THRESHOLD)
+        ep = int(cnts[np.argmax(ok)]) if ok.any() else None
+        n_train = self.tr.n_envs
+        res.update({
+            "episodes_to_threshold": ep,
+            "episodes_total": int(cnts[-1]),
+            "grad_steps": self.cycles * n_train,
+            "env_steps": self.cycles * self.tr.n_envs,
+            "final_trail_mean": round(float(means[-1]), 1)
+            if cnts[-1] >= TRAIL else None,
+            "noisy_return_ceiling": round(float(means.max()), 1),
+            "tracker_overflow_episodes": overflow,
+            "curve_every_cycle": [[int(c), round(float(m), 1)]
+                                  for c, m in zip(cnts[::16],
+                                                  means[::16])]})
+        ev = np.asarray(self.eval_dev)
+        if np.isfinite(ev).all():
+            res["eval_mean_deterministic"] = round(float(np.mean(ev)), 1)
+        else:
+            res["eval_nonfinite"] = True
+        self.tr._pending_logs.clear()
+        return res
+
+
+def dispatch_fused(budget):
+    """Build + dispatch the headline macro (warmup + one untimed run);
+    returns (tr, jm, state) with NO transfers issued."""
     tr = _build_trainer()
     tr.warmup(chunk=16, blind_sweeps=16)
     K = 32 if budget < 25 else 64
     jm = _make_macro(tr, K)
-    p, o, carry = jm(tr.params, tr.opt_state, tr.carry)   # compile+run
-    _force(p)
+    state = jm(tr.params, tr.opt_state, tr.carry)   # compile + run
+    return tr, jm, K, state
+
+
+def time_fused(tr, jm, K, state):
+    """Timed region: device is idle (caller fenced the queue)."""
+    import jax
     t0 = time.perf_counter()
-    p, o, carry = jm(p, o, carry)
-    _force(p)
+    state = jm(*state)
+    _force(state[0])
     dt = time.perf_counter() - t0
-    tr.params, tr.opt_state, tr.carry = p, o, carry
+    tr.params, tr.opt_state, tr.carry = state
     steps = K * tr.n_envs
-    return tr, {
+    return {
         "combined_env_steps_per_s": round(steps / dt, 1),
         "combined_grad_steps_per_s": round(steps / dt, 1),
         "fused_cycle_ms": round(dt * 1e3 / K, 2),
@@ -187,10 +311,10 @@ def phase_steady(tr):
     key = jax.random.PRNGKey(1)
     SW = 64     # rollout sweeps in one dispatch
     carry, _logs = tr._rollout(tr.params, tr.carry, SW)   # compile
-    _force(carry.replay.length)
+    _force(carry.replay.beta)
     t0 = time.perf_counter()
     carry, _logs = tr._rollout(tr.params, carry, SW)
-    _force(carry.replay.length)
+    _force(carry.replay.beta)
     dt_roll = time.perf_counter() - t0
     tr.carry = carry
 
@@ -208,15 +332,11 @@ def phase_steady(tr):
             "train_chunk_grad_steps_per_s": round(NT / dt_train, 1)}
 
 
-def phase_atari():
-    """Atari-scale RACER train step (reference RACER_atari.json recipe:
-    batch 128, layers [512], conv preprocessing; Mnih et al. 84x84x4
-    stack), uint8 image replay, full ReF-ER pipeline on synthetic data.
-    Timed as one dispatch of a Q-step scan + closing transfer; FLOPs
-    from cost analysis of ONE unscanned step (cost analysis of a scan
-    reports the body once, not xQ — r02's per-step MFU divided both time
-    and flops by Q, so its ratio was right but its step time was 20x
-    optimistic)."""
+def build_atari():
+    """Atari-scale RACER setup (reference RACER_atari.json recipe: batch
+    128, layers [512], conv preprocessing; Mnih et al. 84x84x4 stack),
+    uint8 image replay, full ReF-ER pipeline on synthetic data. Returns
+    (jf, args, warm_out) with one untimed dispatch issued."""
     import jax
     import jax.numpy as jnp
     from smarties_tpu.algos.vracer import VRacer
@@ -256,8 +376,18 @@ def phase_atari():
 
     jf = jax.jit(chunk)
     key = jax.random.PRNGKey(2)
-    out = jf(params, opt, rs, key)
-    _force(out[0])
+    warm = jf(params, opt, rs, key)
+    return algo, jf, Q, (params, opt, rs, key), warm
+
+
+def time_atari(algo, jf, Q, args, warm):
+    """Timed atari region (device idle; warm-run output already forced).
+    FLOPs from cost analysis of ONE unscanned step (cost analysis of a
+    scan reports the body once, not xQ — r02's per-step MFU divided both
+    time and flops by Q, so its ratio was right but its step time was
+    20x optimistic)."""
+    import jax
+    params, opt, rs, key = args
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
@@ -287,111 +417,6 @@ def phase_atari():
     return res
 
 
-def phase_quality(seed, budget):
-    """Episodes until the trailing-TRAIL-episode mean return crosses
-    THRESHOLD (BASELINE.md primary gate). Reference-default recipe
-    except minTotObsNum 131072->65536 (the 4096-slot ring cannot hold
-    131k obs of short random-policy warmup episodes).
-
-    The curve tracker runs on device inside a jitted macro-scan, chunked
-    KC cycles per program execution with a host wall-clock check between
-    chunks — a shrinking budget degrades the result to a partial curve
-    instead of nothing. The per-chunk curve readback doubles as the
-    completion fence."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from jax import lax
-    t_q0 = time.perf_counter()
-    res = {"seed": seed}
-    tr = _build_trainer(seed)
-    tr.cfg.minTotObsNum = tr.n_obs_b4_start = 65536
-    tr.warmup(chunk=16, blind_sweeps=65536 // 1024)
-    n_train = tr.n_envs                  # obsPerStep == 1 pacing
-    K = 256                              # <= 262144 grad steps
-    KC = 16                              # cycles per jitted chunk
-    TOPK = 128                           # max episode completions/sweep
-
-    def fold(trk, done, ret):
-        # completed lanes first; at most TOPK completions per 1-step
-        # sweep; completions beyond TOPK are counted in the overflow
-        # output instead of silently dropped (no-silent-caps rule)
-        order = jnp.argsort(~done)
-        d, r = done[order][:TOPK], ret[order][:TOPK]
-        ovf = jnp.maximum(done.sum() - TOPK, 0)
-
-        def push(t, dr):
-            ring, cnt = t
-            dd, rr = dr
-            ring2 = jnp.where(dd, ring.at[cnt % TRAIL].set(rr), ring)
-            return (ring2, cnt + dd.astype(jnp.int32)), None
-
-        return lax.scan(push, trk, (d, r))[0], ovf
-
-    def macro(params, opt, carry, trk, base):
-        def body(c, i):
-            p, o, cr, t = c
-            p, o, cr, _ms, logs = tr._fused_cycle(p, o, cr, 1, n_train)
-            done, _length, ret = logs[0], logs[1], logs[2]
-            t, ovf = fold(t, done.reshape(-1), ret.reshape(-1))
-            # the reference's every-1000-grad-steps replay refresh
-            # (cadence == once per 1024-step cycle, like train_fused)
-            cr = cr._replace(replay=tr._refresh(
-                cr.replay, (base + i + 1.0) * n_train))
-            return (p, o, cr, t), (t[1], t[0].mean(), ovf)
-
-        return lax.scan(body, (params, opt, carry, trk),
-                        jnp.arange(KC, dtype=jnp.float32))
-
-    jm = jax.jit(macro)
-    trk = (jnp.zeros(TRAIL), jnp.zeros((), jnp.int32))
-    p, o, carry = tr.params, tr.opt_state, tr.carry
-    cnts_all, means_all, overflow = [], [], 0
-    cycles = 0
-    deadline = budget - 10.0
-    try:
-        while cycles < K:
-            (p, o, carry, trk), (cnts, means, ovf) = jm(
-                p, o, carry, trk, float(cycles))
-            cycles += KC
-            cnts_all.append(np.asarray(cnts))
-            means_all.append(np.asarray(means))
-            overflow += int(np.asarray(ovf).sum())
-            if time.perf_counter() - t_q0 > deadline:
-                break
-    except _Terminated:
-        pass     # emit the curve collected so far
-    if not cnts_all:
-        return dict(res, partial=True, terminated_in="first_chunk")
-    tr.params, tr.opt_state, tr.carry = p, o, carry   # for the eval below
-    cnts = np.concatenate(cnts_all)
-    means = np.concatenate(means_all)
-    ok = (cnts >= TRAIL) & (means >= THRESHOLD)
-    ep = int(cnts[np.argmax(ok)]) if ok.any() else None
-    res.update({
-        "episodes_to_threshold": ep,
-        "episodes_total": int(cnts[-1]),
-        "grad_steps": cycles * n_train, "env_steps": cycles * tr.n_envs,
-        "final_trail_mean": round(float(means[-1]), 1)
-        if cnts[-1] >= TRAIL else None,
-        "noisy_return_ceiling": round(float(means.max()), 1),
-        "tracker_overflow_episodes": overflow,
-        "curve_every_cycle": [[int(c), round(float(m), 1)]
-                              for c, m in zip(cnts[::16], means[::16])]})
-    if cycles < K:
-        res["partial"] = True     # budget ran out; curve above is real
-    # deterministic-policy proof (32-episode noise-free eval)
-    if budget - (time.perf_counter() - t_q0) > 30.0:
-        try:
-            ev = tr.evaluate(32)
-            res["eval_mean_deterministic"] = round(float(np.mean(ev)), 1)
-        except _Terminated:
-            res["eval_skipped_for_budget"] = True
-    else:
-        res["eval_skipped_for_budget"] = True
-    return res
-
-
 # ======================================================================
 # main
 # ======================================================================
@@ -404,59 +429,118 @@ def main():
     def left():
         return BUDGET_S - (time.time() - t_start)
 
-    extras = {"n_envs": 1024, "batch_size": 256,
+    extras = {"n_envs": 1024, "batch_size": 256, "packed_replay": True,
               "timing": "transfer-forced (block_until_ready does not "
-                        "fence on this backend; see bench.py docstring)"}
+                        "fence on this backend; see bench.py docstring)",
+              "capture": "dispatch-all-then-read (heavy compute overlaps "
+                         "the cross-process canary stall)"}
     errors, skipped = [], []
     etts = []
     value = 0.0
-    # first transfer of the process: absorb the cross-process wait in a
-    # daemon thread while the fused phase builds and compiles
-    canary, t_can = _start_canary()
-    try:
+
+    def flush_partial(stage):
+        """Crash-proof incremental capture (atomic rename)."""
         try:
-            # phase_fused's first (untimed) _force queues behind the
-            # canary and absorbs the cross-process transfer wait; its
-            # TIMED dispatch runs with a sane transfer path
-            tr, head = phase_fused(left())
-            extras["transfer_canary_s"] = round(
-                time.perf_counter() - t_can, 1) if canary.is_set() \
-                else None
-            extras.update(head)
-            value = head.get("combined_env_steps_per_s", 0.0)
+            doc = {"stage": stage, "value": value, "extras": extras,
+                   "errors": errors, "skipped_for_budget": skipped,
+                   "wall_s": round(time.time() - t_start, 1)}
+            tmp = PARTIAL_PATH + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(doc, f)
+            os.replace(tmp, PARTIAL_PATH)
+        except Exception:
+            pass
+
+    # first transfer of the process: absorb the cross-process wait in a
+    # daemon thread while stage 1 builds, compiles and dispatches
+    canary, t_can = _start_canary()
+    quality, tr = [], None
+    try:
+        # ---- stage 1: build + dispatch EVERYTHING (no transfers) ----
+        fence = []            # futures to drain before timing
+        atari = None
+        try:
+            tr, jm, K, fused_state = dispatch_fused(left())
+            fence.append(fused_state[0])
         except _Terminated:
             raise
         except Exception as e:
             errors.append(f"fused: {e!r}"[:300])
             tr = None
-
-        if tr is not None and left() > 40:
-            try:
-                extras.update(phase_steady(tr))
-            except Exception as e:
-                errors.append(f"steady: {e!r}"[:300])
-        elif tr is None or left() <= 40:
-            skipped.append("steady")
-
-        if left() > 60:
-            try:
-                extras.update(phase_atari())
-            except Exception as e:
-                errors.append(f"atari: {e!r}"[:300])
-        else:
-            skipped.append("atari")
-
-        del tr
+        flush_partial("dispatch_fused")
         for seed in (0, 1, 2):
-            if left() < 60:
-                skipped.append(f"quality{seed}")
-                continue
             try:
-                etts.append(phase_quality(seed, left() - 15))
+                q = QualityDispatch(seed)
+                quality.append(q)
+                fence.append(q.last_future)
+            except _Terminated:
+                raise
             except Exception as e:
                 errors.append(f"quality{seed}: {e!r}"[:300])
+            flush_partial(f"dispatch_quality{seed}")
+        try:
+            atari = build_atari()
+            fence.append(atari[4][0])
+        except _Terminated:
+            raise
+        except Exception as e:
+            errors.append(f"atari: {e!r}"[:300])
+        flush_partial("dispatch_atari")
+
+        # ---- stage 2: fence the queue, then short timed regions ----
+        for x in fence:
+            _force(x)         # first force absorbs canary + all compute
+        extras["transfer_canary_s"] = round(
+            time.perf_counter() - t_can, 1) if canary.is_set() else None
+        extras["dispatch_drain_s"] = round(time.time() - t_start, 1)
+        if tr is not None:
+            try:
+                head = time_fused(tr, jm, K, fused_state)
+                extras.update(head)
+                value = head.get("combined_env_steps_per_s", 0.0)
+            except _Terminated:
+                raise
+            except Exception as e:
+                errors.append(f"fused_timed: {e!r}"[:300])
+        flush_partial("fused")
+        if tr is not None and left() > 25:
+            try:
+                extras.update(phase_steady(tr))
+            except _Terminated:
+                raise
+            except Exception as e:
+                errors.append(f"steady: {e!r}"[:300])
+        elif tr is not None:
+            skipped.append("steady")
+        flush_partial("steady")
+        if atari is not None and left() > 15:
+            try:
+                extras.update(time_atari(*atari))
+            except _Terminated:
+                raise
+            except Exception as e:
+                errors.append(f"atari_timed: {e!r}"[:300])
+        elif atari is not None:
+            skipped.append("atari")
+        flush_partial("atari")
+
+        # ---- stage 3: cheap readbacks of the precomputed quality ----
+        for q in quality:
+            try:
+                etts.append(q.finish())
+            except _Terminated:
+                raise
+            except Exception as e:
+                errors.append(f"quality{q.seed}_read: {e!r}"[:300])
+            flush_partial(f"quality{q.seed}")
     except _Terminated:
         errors.append("terminated before completion (partial capture)")
+        # salvage whatever quality results already executed
+        for q in quality[len(etts):]:
+            try:
+                etts.append(q.finish())
+            except Exception:
+                break
 
     if etts:
         vals = [q.get("episodes_to_threshold") for q in etts]
@@ -471,13 +555,15 @@ def main():
         extras["errors"] = errors
     if skipped:   # no silent caps: say what the budget dropped
         extras["skipped_for_budget"] = skipped
-    print(json.dumps({
+    doc = {
         "metric": "combined_env_steps_per_s",
         "value": value,
         "unit": "env-steps/s/chip",
         "vs_baseline": round(value / R01_HEADLINE, 2),
         "extras": extras,
-    }))
+    }
+    flush_partial("done")
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":

@@ -131,28 +131,28 @@ def gather_minibatch(rs: rb.ReplayState, ep, t,
     s_cat = stacked_states(rs, jnp.concatenate([ep, ep]),
                            jnp.concatenate([t, t1]), n_appended)
     s_t, s_t1 = s_cat[:B], s_cat[B:]
-    rows = rs.steps[jnp.concatenate([ep, ep]),
-                    jnp.concatenate([t, t1])]          # [2B, R]
-    row_t, row_t1 = rows[:B], rows[B:]
+    rows = rs.steps[:, jnp.concatenate([ep, ep]),
+                    jnp.concatenate([t, t1])]          # [R, 2B]
+    row_t, row_t1 = rows[:, :B], rows[:, B:]
     ch_act, ch_mu, ch_qret, wb0, _ = rs._c
-    meta = rs.slot_meta[ep]                            # [B, 3]
-    length = meta[:, 0]
+    meta = rs.slot_meta[:, ep]                         # [3, B]
+    length = meta[0]
     is_last = (t + 1) == length
-    terminal = meta[:, 2] > 0
+    terminal = meta[2] > 0
     terminal_next = is_last & terminal
     truncated_next = is_last & (~terminal)
-    r_next = (row_t1[:, rb.CH_REW] - rs.rew_mean) * rs.rew_scale
+    r_next = (row_t1[rb.CH_REW] - rs.rew_mean) * rs.rew_scale
     if per_w is None:
         per_w = jnp.ones(ep.shape, F32)
-    valid = (meta[:, 1] >= 0) & (t < length)
+    valid = (meta[1] >= 0) & (t < length)
     return MiniBatch(ep=ep, t=t, s_t=s_t, s_t1=s_t1,
-                     action=row_t[:, ch_act:ch_mu],
-                     mu=row_t[:, ch_mu:ch_qret],
-                     qret=row_t[:, ch_qret], reward_next=r_next,
+                     action=row_t[ch_act:ch_mu].T,
+                     mu=row_t[ch_mu:ch_qret].T,
+                     qret=row_t[ch_qret], reward_next=r_next,
                      is_last=is_last, terminal_next=terminal_next,
                      truncated_next=truncated_next, per_w=per_w,
-                     valid=valid, rho_old=row_t[:, wb0 + 0],
-                     value_old=row_t[:, wb0 + 3])
+                     valid=valid, rho_old=row_t[wb0 + 0],
+                     value_old=row_t[wb0 + 3])
 
 
 def write_back(rs: rb.ReplayState, mb: MiniBatch, rho, dkl, delta,
@@ -173,9 +173,9 @@ def write_back(rs: rb.ReplayState, mb: MiniBatch, rho, dkl, delta,
     is_far = rb.is_far_policy(rho, rs.cmax_ret, rs.cinv_ret)
     delta_far = is_far.astype(jnp.float32) - was_far.astype(jnp.float32)
     wb0 = rs._c[3]
-    rows = jnp.stack([rho, dkl, delta, value, advantage], axis=-1)
+    rows = jnp.stack([rho, dkl, delta, value, advantage], axis=0)
     return rs._replace(
-        steps=rs.steps.at[ep, t, wb0:].set(rows, mode="drop"),
+        steps=rs.steps.at[wb0:, ep, t].set(rows, mode="drop"),
         far_count=rs.far_count.at[ep].add(delta_far, mode="drop"),
     )
 
@@ -186,7 +186,7 @@ def write_next_value(rs: rb.ReplayState, mb: MiniBatch,
     (MB.setValues(bID, t+1, vNext), e.g. RACER_train.cpp:23-27)."""
     t1 = jnp.where(mb.truncated_next, mb.t + 1, rs.max_len + 1)
     ch_value = rs._c[3] + 3
-    return rs._replace(steps=rs.steps.at[mb.ep, t1, ch_value].set(
+    return rs._replace(steps=rs.steps.at[ch_value, mb.ep, t1].set(
         jnp.where(mb.truncated_next, v_next, 0.0), mode="drop"))
 
 

@@ -42,6 +42,14 @@ def make_learner(mdp: MDPSpec, cfg: HyperParameters):
         from smarties_tpu.algos.mixedpg import MixedPG
         return MixedPG(mdp, cfg)
     if name == "ACER":
+        if mdp.is_discrete:
+            # the reference's ACER is continuous-only
+            # (AlgoFactory.cpp instantiates Param_advantage with
+            # Continuous_policy only); reject at configuration time
+            # instead of asserting deep inside construction
+            raise ValueError(
+                "learner 'ACER' supports continuous action spaces only "
+                "(reference parity); use RACER/DQN for discrete MDPs")
         from smarties_tpu.algos.acer import ACER
         return ACER(mdp, cfg)
     if name == "CMA":

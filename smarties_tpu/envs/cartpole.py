@@ -102,6 +102,26 @@ def reset_where(state: CartPoleState, mask: jnp.ndarray,
     return CartPoleState(u=u, step=stp)
 
 
+class pomdp:
+    """No-velocity cart-pole: only [x, cos(angle), sin(angle)] observable
+    — the canonical recurrent-policy benchmark (the reference's
+    RACER_RNN.json recipe targets exactly this class of partially
+    observed task, README.rst:352: feed-forward nets cannot infer the
+    velocities, an LSTM must carry them)."""
+
+    MDP = MDPSpec(
+        dim_state=6, dim_action=1,
+        bounded=(True,), upper_action=(10.0,), lower_action=(-10.0,),
+        observable=(True, False, False, False, True, True),
+    )
+    MAX_STEPS = MAX_STEPS
+
+    init = staticmethod(init)
+    observe = staticmethod(observe)
+    reset_where = staticmethod(reset_where)
+    step = staticmethod(step)
+
+
 class discrete:
     """Discrete-action variant: force in {-10, +10} selected by label —
     the classic bang-bang cart-pole used to exercise the discrete learners

@@ -41,9 +41,13 @@ def replay_pspec(rs) -> "ReplayStatePSpec":
     samp_cl is the per-SHARD sampling cumsum, local by construction),
     replicated scalars/stat vectors."""
     import dataclasses as _dc
-    sharded = {"states", "steps", "slot_meta", "far_count", "qret_stale",
-               "samp_cl"}
-    kw = {f.name: (P(AXIS) if f.name in sharded else P())
+    # slot axis is dim 0 for states/far_count/qret_stale, dim 1 for the
+    # channel-major packed arrays (steps [R,E,L+1], slot_meta [3,E],
+    # samp_cl [2,E])
+    dim0 = {"states", "far_count", "qret_stale"}
+    dim1 = {"steps", "slot_meta", "samp_cl"}
+    kw = {f.name: (P(AXIS) if f.name in dim0
+                   else P(None, AXIS) if f.name in dim1 else P())
           for f in _dc.fields(rs) if not f.metadata.get("static")}
     return type(rs)(dim_action=rs.dim_action, dim_policy=rs.dim_policy,
                     **kw)

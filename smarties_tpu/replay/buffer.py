@@ -9,21 +9,24 @@ jit-compiled masked array ops (no host round-trips in the hot path).
 
 PACKED LAYOUT (round-4 redesign). The train step is latency-bound on this
 backend (~14 us per independent gather/scatter at ~25 us kernel floor;
-docs/RESULTS.md), so all per-transition scalars live in ONE packed record
-array `steps [E, L+1, R]` with channel layout
+docs/RESULTS.md), so all per-transition scalars live in ONE packed
+CHANNEL-MAJOR record array `steps [R, E, L+1]` with channel order
 
     [ reward(1) | action(dimA) | mu(dimPol) | qret(1) |
       rho(1) | kl(1) | delta(1) | value(1) | advantage(1) ]
 
-and the per-slot integers in ONE `slot_meta [E, 3]` = [length, ep_id,
-terminal]. A minibatch gather is then 3 gathers (states, step records at
-t and t+1 fused into one, slot_meta) instead of ~8, and the 5-field
-write-back of MiniBatch::setMseDklImpw is ONE scatter into the trailing
-channel slice [rho..advantage] instead of 5. The old per-field names
-(`rs.rho`, `rs.length`, ...) remain available as properties returning
-lazy slices — XLA folds slice-of-gather and fuses slice-of-elementwise,
-so read sites keep their cost. `samp_cl [E, 2]` caches [cumsum(len),
-len] for uniform sampling, rebuilt at every commit/prune/clear (the only
+and the per-slot integers in ONE `slot_meta [3, E]` = [length; ep_id;
+terminal]. Channel-major matters: TPU arrays tile (8, 128) on the two
+minor dims, so a channels-MINOR [E, L+1, R~10] layout pads the lane
+dimension 10->128 and moves ~12x the bytes on every access (measured
+~4.4 ms/step); with channels MAJOR each channel is a contiguous
+[E, L+1] slab identical to the pre-packing per-field arrays — property
+reads (`rs.rho`, ...) are zero-copy slabs — while a minibatch gather is
+3 gathers (states; step records at t and t+1 fused into one with a full
+slice over R; slot_meta) instead of ~8, and the 5-field write-back of
+MiniBatch::setMseDklImpw is ONE scatter into the [rho..advantage]
+channel-range instead of 5. `samp_cl [2, E]` caches [cumsum(len); len]
+for uniform sampling, rebuilt at every commit/prune/clear (the only
 places lengths change).
 
 Array layout (state-indexed time axis, see ops/returns.py):
@@ -76,8 +79,8 @@ def _ch(dim_action: int, dim_policy: int):
 class ReplayState:
     # episode storage
     states: jnp.ndarray      # [E, L+1, dimS] raw (unstandardized) states
-    steps: jnp.ndarray       # [E, L+1, R] packed per-step record (above)
-    slot_meta: jnp.ndarray   # [E, 3] i32 [length, ep_id, terminal]
+    steps: jnp.ndarray       # [R, E, L+1] packed per-step record (above)
+    slot_meta: jnp.ndarray   # [3, E] i32 [length; ep_id; terminal]
     # ReF-ER / annealing scalars (MemoryBuffer.h:41-44)
     beta: jnp.ndarray        # penalization weight in [0, 1]
     alpha: jnp.ndarray       # CMA cost mix
@@ -104,11 +107,11 @@ class ReplayState:
     # zeros until refresh_new_returns runs (the at-ingest Retrace of
     # MemoryBuffer::terminateCurrentEpisode, batched per rollout chunk)
     qret_stale: jnp.ndarray      # [E] bool
-    # cached [cumsum(valid len), valid len] i32 for uniform sampling —
+    # cached [cumsum(valid len); valid len] i32 for uniform sampling —
     # rebuilt wherever lengths change (commit/prune/clear/rebalance);
     # per-SHARD local when the slot axis is sharded (exactly what
     # per-shard sampling wants)
-    samp_cl: jnp.ndarray         # [E, 2] i32
+    samp_cl: jnp.ndarray         # [2, E] i32
     # static metadata needed to slice the packed record
     dim_action: int = field(default=0, metadata=dict(static=True))
     dim_policy: int = field(default=0, metadata=dict(static=True))
@@ -133,14 +136,16 @@ class ReplayState:
             meta_touched = False
             for name in list(kw):
                 if name in sl:
-                    steps = steps.at[..., sl[name]].set(kw.pop(name))
+                    steps = steps.at[sl[name]].set(kw.pop(name))
                 elif name == "actions":
-                    steps = steps.at[..., ch_act:ch_mu].set(kw.pop(name))
+                    steps = steps.at[ch_act:ch_mu].set(
+                        jnp.moveaxis(kw.pop(name), -1, 0))
                 elif name == "mus":
-                    steps = steps.at[..., ch_mu:ch_qret].set(kw.pop(name))
+                    steps = steps.at[ch_mu:ch_qret].set(
+                        jnp.moveaxis(kw.pop(name), -1, 0))
                 elif name in ("length", "ep_id", "terminal"):
                     i = ("length", "ep_id", "terminal").index(name)
-                    sm = sm.at[:, i].set(kw.pop(name).astype(I32))
+                    sm = sm.at[i].set(kw.pop(name).astype(I32))
                     meta_touched = meta_touched or name != "terminal"
             out = dataclasses.replace(self, steps=steps, slot_meta=sm,
                                       **kw)
@@ -154,53 +159,53 @@ class ReplayState:
 
     @property
     def rewards(self):
-        return self.steps[..., CH_REW]
+        return self.steps[CH_REW]
 
     @property
     def actions(self):
         ch_act, ch_mu, _, _, _ = self._c
-        return self.steps[..., ch_act:ch_mu]
+        return jnp.moveaxis(self.steps[ch_act:ch_mu], 0, -1)
 
     @property
     def mus(self):
         _, ch_mu, ch_qret, _, _ = self._c
-        return self.steps[..., ch_mu:ch_qret]
+        return jnp.moveaxis(self.steps[ch_mu:ch_qret], 0, -1)
 
     @property
     def qret(self):
-        return self.steps[..., self._c[2]]
+        return self.steps[self._c[2]]
 
     @property
     def rho(self):
-        return self.steps[..., self._c[3] + 0]
+        return self.steps[self._c[3] + 0]
 
     @property
     def kl(self):
-        return self.steps[..., self._c[3] + 1]
+        return self.steps[self._c[3] + 1]
 
     @property
     def delta(self):
-        return self.steps[..., self._c[3] + 2]
+        return self.steps[self._c[3] + 2]
 
     @property
     def value(self):
-        return self.steps[..., self._c[3] + 3]
+        return self.steps[self._c[3] + 3]
 
     @property
     def advantage(self):
-        return self.steps[..., self._c[3] + 4]
+        return self.steps[self._c[3] + 4]
 
     @property
     def length(self):
-        return self.slot_meta[:, 0]
+        return self.slot_meta[0]
 
     @property
     def ep_id(self):
-        return self.slot_meta[:, 1]
+        return self.slot_meta[1]
 
     @property
     def terminal(self):
-        return self.slot_meta[:, 2] > 0
+        return self.slot_meta[2] > 0
 
     # ---------------- derived masks / counts ----------------
     @property
@@ -243,12 +248,13 @@ jax.tree_util.register_dataclass(
 
 def pack_step_record(rewards, actions, mus, qret, rho, kl, delta, value,
                      advantage):
-    """Assemble [..., R] packed records from per-field arrays (leading
-    dims arbitrary; scalar fields [...], vector fields [..., d])."""
-    one = lambda x: x[..., None]
+    """Assemble a CHANNEL-MAJOR [R, ...] packed record from per-field
+    arrays (scalar fields [...], vector fields [..., d])."""
+    one = lambda x: x[None]
+    vec = lambda x: jnp.moveaxis(x, -1, 0)
     return jnp.concatenate(
-        [one(rewards), actions, mus, one(qret), one(rho), one(kl),
-         one(delta), one(value), one(advantage)], axis=-1)
+        [one(rewards), vec(actions), vec(mus), one(qret), one(rho),
+         one(kl), one(delta), one(value), one(advantage)], axis=0)
 
 
 def safe_mu(mdp) -> np.ndarray:
@@ -283,13 +289,13 @@ def init_replay(n_slots: int, max_len: int, dim_state: int, dim_action: int,
     E, L1 = n_slots, max_len + 1
     C = clip_imp_weight
     _, ch_mu, ch_qret, _, R = _ch(dim_action, dim_policy)
-    steps = jnp.zeros((E, L1, R), F32)
+    steps = jnp.zeros((R, E, L1), F32)
     if mu_init is not None:
-        steps = steps.at[:, :, ch_mu:ch_qret].set(
-            jnp.asarray(mu_init, F32))
+        steps = steps.at[ch_mu:ch_qret].set(
+            jnp.asarray(mu_init, F32)[:, None, None])
     slot_meta = jnp.concatenate(
-        [jnp.zeros((E, 1), I32), -jnp.ones((E, 1), I32),
-         jnp.zeros((E, 1), I32)], axis=1)
+        [jnp.zeros((1, E), I32), -jnp.ones((1, E), I32),
+         jnp.zeros((1, E), I32)], axis=0)
     z = lambda *s: jnp.zeros(s, F32)
     return ReplayState(
         states=jnp.zeros((E, L1, dim_state), state_dtype),
@@ -306,17 +312,17 @@ def init_replay(n_slots: int, max_len: int, dim_state: int, dim_action: int,
         n_pruned_eps=jnp.int32(0), max_abs_error=jnp.float32(0.0),
         far_count=jnp.zeros((E,), F32),
         qret_stale=jnp.zeros((E,), bool),
-        samp_cl=jnp.zeros((E, 2), I32),
+        samp_cl=jnp.zeros((2, E), I32),
         dim_action=dim_action, dim_policy=dim_policy,
     )
 
 
 def rebuild_sample_cache(rs: ReplayState) -> ReplayState:
-    """Refresh the cached [cumsum(len), len] pair used by uniform
+    """Refresh the cached [cumsum(len); len] pair used by uniform
     sampling. Must run after any operation that changes lengths/validity
     (commit/prune/clear/rebalance all do)."""
     lens = jnp.where(rs.valid_slots(), rs.length, 0)
-    cl = jnp.stack([jnp.cumsum(lens), lens], axis=1)
+    cl = jnp.stack([jnp.cumsum(lens), lens], axis=0)
     return rs._replace(samp_cl=cl)
 
 
@@ -391,10 +397,10 @@ def commit_episodes_packed(rs: ReplayState, ep_states, ep_steps, ep_length,
                            ids_override=None):
     """Scatter finished PACKED episodes into replay slots and prune.
 
-    ep_states [V, L+1, dimS], ep_steps [V, L+1, R] (record layout above),
-    ep_length [V] i32, ep_terminal [V] bool, done_mask [V] bool.
-    Replaces the reference's mutex-guarded pushBackEpisode +
-    applyEpisodesRemovalAlgo (MemoryBuffer.cpp:479-520,
+    ep_states [V, L+1, dimS], ep_steps [R, V, L+1] (channel-major record
+    layout above), ep_length [V] i32, ep_terminal [V] bool,
+    done_mask [V] bool. Replaces the reference's mutex-guarded
+    pushBackEpisode + applyEpisodesRemovalAlgo (MemoryBuffer.cpp:479-520,
     MemoryProcessing.cpp:327-351).
 
     Victim-slot choice: the K lowest keep-priority slots (empty slots
@@ -417,11 +423,11 @@ def commit_episodes_packed(rs: ReplayState, ep_states, ep_steps, ep_length,
         return dst.at[tgt].set(src, mode="drop")
 
     ep_meta = jnp.stack([ep_length.astype(I32), new_ids.astype(I32),
-                         ep_terminal.astype(I32)], axis=1)
+                         ep_terminal.astype(I32)], axis=0)
     rs = rs._replace(
         states=put(rs.states, ep_states),
-        steps=put(rs.steps, ep_steps),
-        slot_meta=put(rs.slot_meta, ep_meta),
+        steps=rs.steps.at[:, tgt].set(ep_steps, mode="drop"),
+        slot_meta=rs.slot_meta.at[:, tgt].set(ep_meta, mode="drop"),
         # fresh episodes arrive with rho == 1 everywhere: zero far steps
         far_count=put(rs.far_count, jnp.zeros(V, F32)),
         qret_stale=put(rs.qret_stale, jnp.ones(V, bool)),
@@ -465,10 +471,10 @@ def prune_to_capacity(rs: ReplayState, max_tot_obs: int, filter_algo: str):
     pruned = rs.n_stored_eps() - jnp.sum(keep.astype(I32))
     # invalidate: length -> 0, ep_id -> -1, terminal kept (unused when
     # invalid)
-    inval = (rs.slot_meta * jnp.asarray([0, 0, 1], I32)
-             + jnp.asarray([0, -1, 0], I32))
+    inval = (rs.slot_meta * jnp.asarray([0, 0, 1], I32)[:, None]
+             + jnp.asarray([0, -1, 0], I32)[:, None])
     rs = rs._replace(
-        slot_meta=jnp.where(keep[:, None], rs.slot_meta, inval),
+        slot_meta=jnp.where(keep[None, :], rs.slot_meta, inval),
         far_count=jnp.where(keep, rs.far_count, 0.0),
         n_pruned_eps=rs.n_pruned_eps + pruned,
     )
@@ -478,8 +484,8 @@ def prune_to_capacity(rs: ReplayState, max_tot_obs: int, filter_algo: str):
 def clear_all(rs: ReplayState) -> ReplayState:
     """Invalidate every episode (PPO epoch-end clearAll,
     MemoryBuffer clearAll / PPO.cpp:105-112)."""
-    inval = (rs.slot_meta * jnp.asarray([0, 0, 1], I32)
-             + jnp.asarray([0, -1, 0], I32))
+    inval = (rs.slot_meta * jnp.asarray([0, 0, 1], I32)[:, None]
+             + jnp.asarray([0, -1, 0], I32)[:, None])
     return rebuild_sample_cache(rs._replace(slot_meta=inval))
 
 
@@ -493,14 +499,14 @@ def sample_uniform(key, rs: ReplayState, batch: int):
     Reference: Sample_uniform (Sampling.cpp:49-99). The reference dedups and
     sorts for cache locality; with B << N collisions are negligible and
     gathers are order-independent on TPU, so plain iid draws are used.
-    Uses the cached [cumsum(len), len] pair (ONE gather)."""
+    Uses the cached [cumsum(len); len] pair (ONE gather)."""
     cl = rs.samp_cl
-    total = cl[-1, 0]
+    total = cl[0, -1]
     flat = jax.random.randint(key, (batch,), 0, jnp.maximum(total, 1))
-    ep = jnp.searchsorted(cl[:, 0], flat, side="right").astype(I32)
+    ep = jnp.searchsorted(cl[0], flat, side="right").astype(I32)
     ep = jnp.clip(ep, 0, rs.n_slots - 1)
-    g = cl[ep]                                    # [B, 2]
-    t = (flat - (g[:, 0] - g[:, 1])).astype(I32)
+    g = cl[:, ep]                                 # [2, B]
+    t = (flat - (g[0] - g[1])).astype(I32)
     return ep, t
 
 
@@ -657,7 +663,7 @@ def update_state_rew_stats(rs: ReplayState, learn_rate, b_init: bool = False,
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
     # rewards: entries t in [1, T]
-    t = jnp.arange(rs.steps.shape[1])
+    t = jnp.arange(rs.steps.shape[2])
     rmask = ((t[None, :] >= 1) & (t[None, :] <= rs.length[:, None])
              & rs.valid_slots()[:, None]).astype(F32)
     count = jnp.maximum(_gsum(jnp.sum(rmask)), 1.0)
@@ -695,8 +701,9 @@ def update_state_rew_stats(rs: ReplayState, learn_rate, b_init: bool = False,
 # ---------------------------------------------------------------------------
 
 def _set_qret(rs: ReplayState, qret) -> ReplayState:
-    """Write the qret channel of the packed record (full-array update)."""
-    return rs._replace(steps=rs.steps.at[:, :, rs._c[2]].set(qret))
+    """Write the qret channel of the packed record (one contiguous
+    channel-slab dynamic-update-slice)."""
+    return rs._replace(steps=rs.steps.at[rs._c[2]].set(qret))
 
 
 def refresh_new_returns(rs: ReplayState, gamma: float, lam: float,
@@ -747,8 +754,8 @@ def rebalance_shards(rs: ReplayState, axis_name: str, k_max: int = 8,
     # zero the kl/delta channels of the shipped records (commit semantics:
     # fresh arrivals start with kl = delta = 0, as the per-field commit)
     wb0 = rs._c[3]
-    ship_steps = rs.steps[slots]
-    ship_steps = ship_steps.at[:, :, wb0 + 1:wb0 + 3].set(0.0)
+    ship_steps = rs.steps[:, slots]
+    ship_steps = ship_steps.at[wb0 + 1:wb0 + 3].set(0.0)
     payload = dict(
         states=rs.states[slots], steps=ship_steps,
         length=rs.length[slots], terminal=rs.terminal[slots], ship=ship)
@@ -758,10 +765,10 @@ def rebalance_shards(rs: ReplayState, axis_name: str, k_max: int = 8,
 
     # sender side: invalidate shipped slots
     drop = jnp.zeros((rs.n_slots,), bool).at[slots].set(ship)
-    inval = (rs.slot_meta * jnp.asarray([0, 0, 1], I32)
-             + jnp.asarray([0, -1, 0], I32))
+    inval = (rs.slot_meta * jnp.asarray([0, 0, 1], I32)[:, None]
+             + jnp.asarray([0, -1, 0], I32)[:, None])
     rs = rs._replace(
-        slot_meta=jnp.where(drop[:, None], inval, rs.slot_meta),
+        slot_meta=jnp.where(drop[None, :], inval, rs.slot_meta),
         far_count=jnp.where(drop, 0.0, rs.far_count))
 
     # receiver side: insert the neighbor's episodes (commit bookkeeping

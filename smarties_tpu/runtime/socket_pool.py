@@ -32,7 +32,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from smarties_tpu.runtime.communicator import (CONT, INIT, LAST, TERM,
+from smarties_tpu.runtime.communicator import (CONT, FAIL, INIT, LAST, TERM,
                                                spec_to_mdp)
 
 MAGIC_SPEC = 0x43455053
@@ -254,9 +254,13 @@ class SocketEnvPool:
             self._chan_complete = set()
             self._drain_left = {}    # member j -> duplicate rounds owed
         M = self.n_members
+        if not hasattr(self, "_dead_chans"):
+            self._dead_chans = set()
         deadline = _time.monotonic() + timeout
         while True:
             for c in range(self.n_channels):
+                if c in self._dead_chans:
+                    continue
                 j = self._member_of_channel(c)
                 buf = self._chan_events.setdefault(c, [])
                 if c not in self._chan_complete:
@@ -265,7 +269,21 @@ class SocketEnvPool:
                         self._pending[j] = None
                     else:
                         msgs = []
-                    msgs += self._try_read_msgs(j)
+                    try:
+                        msgs += self._try_read_msgs(j)
+                    except (EOFError, OSError):
+                        # client crash mid-stream: surface one FAIL event
+                        # per lane (EnvPool parity, Agent FAIL status) and
+                        # retire the channel — the event-driven loop keeps
+                        # serving the healthy channels (the reference
+                        # die()s the whole run here, SocketsLib.h)
+                        self._dead_chans.add(c)
+                        for a in range(self.n_agents):
+                            buf.append((c * self.n_agents + a, FAIL,
+                                        np.zeros(self.mdp.dim_state),
+                                        0.0))
+                        self._chan_complete.add(c)
+                        msgs = []
                     for msg in msgs:
                         if msg[0] == "spec":
                             continue
@@ -327,6 +345,17 @@ class SocketEnvPool:
                 return
 
     def gather_states(self):
+        # one serving mode per pool instance: poll_states parks partial
+        # frames in _rbuf/_chan_events which _recv_msg cannot see — a
+        # later blocking gather would misparse mid-message ("bad magic").
+        # Guard the invariant explicitly (ADVICE r3 #3).
+        if (any(getattr(self, "_rbuf", [])) or
+                any(getattr(self, "_chan_events", {}).values())):
+            raise RuntimeError(
+                "SocketEnvPool: gather_states called while poll_states "
+                "holds buffered partial frames — pick ONE serving mode "
+                "(event-driven poll_states OR lockstep gather_states) "
+                "per pool instance")
         n = self.n_lanes
         states = np.zeros((n, self.mdp.dim_state), np.float64)
         rewards = np.zeros(n)
@@ -357,6 +386,8 @@ class SocketEnvPool:
         Core/Worker.cpp:371-383). None entries skip the lane."""
         M = self.n_members
         for c in range(self.n_channels):
+            if c in getattr(self, "_dead_chans", ()):
+                continue       # crashed client (FAIL already surfaced)
             if self.dist_agents and M > 1:
                 conns = self._conns[c * M:(c + 1) * M]
             else:

@@ -4,12 +4,15 @@ Runs recipe x env combos to convergence on one chip, ALL IN ONE PROCESS
 (the r2 one-combo-per-subprocess design made every successor combo's
 first device->host transfer wait out the cross-process tunnel claim of
 its predecessor, ~1-6 min each). Combos run sequentially: train, then
-flush + eval, then the next combo. Timing note (bench.py docstring):
-block_until_ready does not fence on this backend, so per-combo wall
-times are only meaningful because finish_combo's transfers force real
-completion before the next combo starts. Budgets are sized to the REAL
-measured single-chip rate (~5k fused grad-steps/s; the r2 "millions/s"
-was a dispatch-rate artifact).
+flush + eval, then the next combo.
+
+Timing (r4 fix of the r3 mirage, ADVICE r3 #1): block_until_ready does
+not fence on this backend, so train_combo now ends with an explicit
+transfer-forced fence BEFORE stopping the wall clock — summary.json
+`wall_s` is real device execution time (the r3 artifacts recorded
+dispatch time, implying impossible ~500k steps/s; regenerated). The
+per-combo `wall` cap still gates on dispatch progress (it exists only to
+bound runaway loops; the true bound is the grad-step budget).
 
 Each run writes a reference-format agent_00_rank00_cumulative_rewards.dat
 under docs/curves/runs/<name>/ and a JSON summary; `render` turns the
@@ -49,16 +52,18 @@ COMBOS = {
         over={"gamma": 0.99, "minTotObsNum": 65536,
               "maxTotObsNum": 131072},
         budget=2_000_000, wall=900, n_envs=1024),
+    # DPG.json keeps lr 1e-5: pendulum needs a long horizon at that rate
+    # (r3's 2M-step run plateaued at -574; solved needs ~3x the budget)
     "dpg_pendulum": dict(
         env="pendulum", recipe="DPG",
         over={"gamma": 0.99, "minTotObsNum": 65536,
               "maxTotObsNum": 131072},
-        budget=2_000_000, wall=900, n_envs=1024),
+        budget=6_000_000, wall=1800, n_envs=1024),
     # PPO.json horizon (maxTotObsNum) is 2048: min must come down with it
     "ppo_pendulum": dict(
         env="pendulum", recipe="PPO",
         over={"gamma": 0.99, "minTotObsNum": 2048},
-        budget=60_000, wall=900, n_envs=64),
+        budget=120_000, wall=1800, n_envs=64),
     # glider episodes run up to 400 steps: 3M grad steps = ~2900 env
     # steps per lane = ~7 episodes per lane
     "racer_glider": dict(
@@ -76,12 +81,14 @@ COMBOS = {
         over={"minTotObsNum": 65536, "maxTotObsNum": 131072},
         budget=1_000_000, wall=900, n_envs=1024),
     # NAF's quadratic advantage is a weak fit for bang-bang cart-pole
-    # (reference-known); more exploration + longer training raises it
+    # (reference-known); r3 at explNoise 0.4 / 3M steps evaluated 101.
+    # r4 retune: milder OU noise so the greedy mean can stabilize, and
+    # double the budget.
     "naf_cartpole": dict(
         env="cartpole", recipe="NAF",
-        over={"explNoise": 0.4, "minTotObsNum": 65536,
+        over={"explNoise": 0.2, "minTotObsNum": 65536,
               "maxTotObsNum": 262144},
-        budget=3_000_000, wall=900, n_envs=1024),
+        budget=6_000_000, wall=1800, n_envs=1024),
     "mixedpg_pendulum": dict(
         env="pendulum", recipe="VRACER",
         over={"learner": "MixedPG", "gamma": 0.99,
@@ -94,14 +101,16 @@ COMBOS = {
               "maxTotObsNum": 131072},
         budget=1_000_000, wall=900, n_envs=1024),
     # acrobot is exploration-bound: the DQN recipe's near-greedy
-    # Boltzmann (explNoise 0.05) never reaches the goal; temperature 1.0
-    # with annealing solves it (tuned recipe, BASELINE "tuned allowed")
+    # Boltzmann (explNoise 0.05) never reaches the goal. r3's attempt
+    # (temperature 1.0, anneal 1e-6, 1M steps) still recorded -500 (no
+    # learning); r4 retunes with a hotter slower-annealed temperature,
+    # a shorter-horizon gamma and a bigger budget.
     "dqn_acrobot": dict(
         env="acrobot", recipe="DQN",
         over={"clipImpWeight": 4.0, "returnsEstimator": "retrace",
-              "explNoise": 1.0, "epsAnneal": 1e-6,
+              "explNoise": 2.0, "epsAnneal": 5e-7, "gamma": 0.99,
               "minTotObsNum": 65536, "maxTotObsNum": 262144},
-        budget=1_000_000, wall=900, n_envs=1024),
+        budget=2_000_000, wall=1800, n_envs=1024),
     "vracer_mountaincar": dict(
         env="mountaincar", recipe="VRACER",
         over={"gamma": 0.995, "explNoise": 0.8, "minTotObsNum": 65536,
@@ -120,6 +129,26 @@ COMBOS = {
               "nnBf16": True},
         budget=120_000, wall=900, n_envs=256, uint8=True,
         n_slots=2048),
+    # ---- r4: recurrent POMDP record (VERDICT r3 #5): LSTM V-RACER on
+    # no-velocity cart-pole under the reference RNN recipe
+    # (settings/RACER_RNN.json: LSTM [32,32], nnBPTTseq 16) ----
+    "racer_rnn_cartpole": dict(
+        env="cartpole.pomdp", recipe="RACER_RNN",
+        over={"minTotObsNum": 65536, "maxTotObsNum": 262144},
+        budget=1_500_000, wall=2400, n_envs=1024),
+    # ---- r4: RACER with Gaussian advantage (the full-RACER
+    # instantiation, VERDICT r3 #7) ----
+    "racer_pendulum": dict(
+        env="pendulum", recipe="RACER",
+        over={"gamma": 0.99, "minTotObsNum": 65536,
+              "maxTotObsNum": 131072},
+        budget=2_000_000, wall=1200, n_envs=1024),
+    # ---- r4: RACER-ES (derivative-free VRACER_CMA path, VERDICT r3 #7;
+    # population forwards make each grad step ~popsize x costlier) ----
+    "vracer_cma_cartpole": dict(
+        env="cartpole", recipe="VRACER_CMA",
+        over={"minTotObsNum": 16384, "maxTotObsNum": 65536},
+        budget=250_000, wall=1800, n_envs=1024),
 }
 
 
@@ -162,6 +191,11 @@ def train_combo(name):
                   blind_sweeps=max(16, cfg.minTotObsNum // c["n_envs"]))
         tr.train_fused(c["budget"], log_every=10 ** 9,
                        max_wall_s=c["wall"], flush=False)
+    # transfer-forced fence: wall_s must cover real device execution,
+    # not dispatch (block_until_ready does not fence on this backend)
+    import numpy as np
+    np.asarray(__import__("jax").tree_util.tree_leaves(
+        tr.params)[0].ravel()[0])
     tr._wall_s = time.time() - t0
     return tr
 
