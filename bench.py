@@ -367,11 +367,17 @@ def build_atari():
     Q = 100
 
     def chunk(p, o, r, k):
-        def body(c, kk):
+        from smarties_tpu.algos.base import presample_uniform
+        ks = jax.random.split(k, Q)
+        eps, ts = presample_uniform(ks, r, cfg.batchSize)
+
+        def body(c, x):
             pp, oo, rr = c
-            pp, oo, rr, _ = algo.train_step(pp, oo, rr, kk)
+            kk, e, t = x
+            pp, oo, rr, _ = algo.train_step(pp, oo, rr, kk,
+                                            sample_override=(e, t))
             return (pp, oo, rr), None
-        c, _ = jax.lax.scan(body, (p, o, r), jax.random.split(k, Q))
+        c, _ = jax.lax.scan(body, (p, o, r), (ks, eps, ts))
         return c
 
     jf = jax.jit(chunk)

@@ -142,18 +142,18 @@ class ACER:
         # ONE gather of the packed per-step record covers actions, mus,
         # rewards and the stored rho (for the incremental far-count delta
         # below) — pre-packing these were 4 separate window gathers
-        rows = rs.steps[:, ep[:, None], twc]         # [R, B, S+1]
+        rows = rs.steps[ep[:, None], twc]            # [B, S+1, R]
         ch_act, ch_mu, ch_qret, wb0, _ = rs._c
-        acts = jnp.moveaxis(rows[ch_act:ch_mu], 0, -1)   # [B, S+1, nA]
-        mus = jnp.moveaxis(rows[ch_mu:ch_qret], 0, -1)
-        rho_old = rows[wb0 + 0]
+        acts = rows[..., ch_act:ch_mu]
+        mus = rows[..., ch_mu:ch_qret]
+        rho_old = rows[..., wb0 + 0]
         # padded window positions hold zero vectors -> mu stdev 0 would
         # produce inf/NaN inside logprob/KL before any masking can help;
         # substitute a standard-normal mu there (results are masked out)
         safe_mu = jnp.concatenate(
             [jnp.zeros((nA,), F32), jnp.ones((nA,), F32)])
         mus = jnp.where(active[..., None], mus, safe_mu)
-        r_scaled = (rows[rb.CH_REW] - rs.rew_mean) * rs.rew_scale
+        r_scaled = (rows[..., rb.CH_REW] - rs.rew_mean) * rs.rew_scale
         net, tgt_actor = params["net"], params["tgt_actor"]
 
         # behavior-independent randomness: one on-policy sample + 5
@@ -328,10 +328,16 @@ class ACER:
         d_far = jnp.sum(now_far.astype(jnp.float32)
                         - was_far.astype(jnp.float32), axis=1)
         rs = rs._replace(far_count=rs.far_count.at[ep].add(d_far))
-        wrows = jnp.stack([rho[:, :S], dkl[:, :S], q_err, v_st[:, :S],
-                           (q_theta - v_st)[:, :S]], axis=0)
+        # FULL-row window scatter: new trailing channels + the gathered
+        # fixed channels re-emitted (bit-identical; partial-width
+        # scatters are the slow path, replay/buffer.py layout notes)
+        wrows = jnp.concatenate(
+            [rows[:, :S, :wb0],
+             jnp.stack([rho[:, :S], dkl[:, :S], q_err, v_st[:, :S],
+                        (q_theta - v_st)[:, :S]], axis=-1),
+             rows[:, :S, wb0 + 5:]], axis=-1)
         rs = rs._replace(
-            steps=rs.steps.at[wb0:, epw, tww].set(wrows, mode="drop"))
+            steps=rs.steps.at[epw, tww].set(wrows, mode="drop"))
         from smarties_tpu.algos.base import post_step_processing
         rs, frac_off = post_step_processing(rs, cfg, new_opt.step, q_err,
                                             axis_name)

@@ -102,6 +102,33 @@ class MiniBatch(NamedTuple):
     # PPO's acting-time baseline (both were separate gathers pre-packing)
     rho_old: jnp.ndarray = None  # [B]
     value_old: jnp.ndarray = None  # [B]
+    # the full gathered records at t and t+1 — write_back/write_next_value
+    # re-emit their fixed channels so the hot writes stay FULL-row
+    # scatters (see replay/buffer.py layout notes)
+    row_t: jnp.ndarray = None    # [B, R]
+    row_t1: jnp.ndarray = None   # [B, R]
+
+
+def presample_uniform(keys, rs: rb.ReplayState, batch: int,
+                      axis_name=None):
+    """Precompute per-step uniform sample indices for a whole train
+    chunk OUTSIDE the scan body. Measured (tools/profile_layout.py,
+    /tmp probes r4): the per-iteration RNG primitives (split + randint)
+    cost ~100 us inside a scan body on this backend — more than every
+    gather/scatter of the train step combined — while one vmapped batch
+    of them outside the scan is a single cheap kernel. Bit-identical to
+    the in-body path: same key-derivation chain
+    (fold_in by shard -> split(key, 1)[0] -> sample_uniform), and the
+    sampling inputs (samp_cl) only change at commit/refresh boundaries,
+    never inside a train chunk. Returns (ep [n, B], t [n, B])."""
+
+    def one(k):
+        if axis_name is not None:
+            k = jax.random.fold_in(k, jax.lax.axis_index(axis_name))
+        ks, = jax.random.split(k, 1)
+        return rb.sample_uniform(ks, rs, batch)
+
+    return jax.vmap(one)(keys)
 
 
 def stacked_states(rs: rb.ReplayState, ep, t, n_appended: int):
@@ -121,51 +148,54 @@ def gather_minibatch(rs: rb.ReplayState, ep, t,
                      per_w: Optional[jnp.ndarray] = None,
                      n_appended: int = 0) -> MiniBatch:
     t1 = jnp.minimum(t + 1, rs.max_len)
-    # THREE gathers total (the backend's ~14 us/gather latency floor makes
-    # kernel count, not bytes, the cost of small-model train steps):
+    # TWO gathers total (per-op cost ~20 us on this backend):
     #  1. states at t and t+1 fused into one gather
     #  2. the packed per-step record at t and t+1 fused into one gather
-    #     (action/mu/qret/rho/value at t; reward at t+1)
-    #  3. slot_meta (length/ep_id/terminal)
+    #     (action/mu/qret/rho/value at t; reward at t+1; the slot-meta
+    #     MIRROR channels give length/ep_id/terminal with no third
+    #     gather — buffer._ch layout notes)
     B = ep.shape[0]
     s_cat = stacked_states(rs, jnp.concatenate([ep, ep]),
                            jnp.concatenate([t, t1]), n_appended)
     s_t, s_t1 = s_cat[:B], s_cat[B:]
-    rows = rs.steps[:, jnp.concatenate([ep, ep]),
-                    jnp.concatenate([t, t1])]          # [R, 2B]
-    row_t, row_t1 = rows[:, :B], rows[:, B:]
-    ch_act, ch_mu, ch_qret, wb0, _ = rs._c
-    meta = rs.slot_meta[:, ep]                         # [3, B]
-    length = meta[0]
+    rows = rs.steps[jnp.concatenate([ep, ep]),
+                    jnp.concatenate([t, t1])]          # [2B, R]
+    row_t, row_t1 = rows[:B], rows[B:]
+    ch_act, ch_mu, ch_qret, wb0, R = rs._c
+    length = row_t[:, R - 3].astype(jnp.int32)
     is_last = (t + 1) == length
-    terminal = meta[2] > 0
+    terminal = row_t[:, R - 1] > 0
     terminal_next = is_last & terminal
     truncated_next = is_last & (~terminal)
-    r_next = (row_t1[rb.CH_REW] - rs.rew_mean) * rs.rew_scale
+    r_next = (row_t1[:, rb.CH_REW] - rs.rew_mean) * rs.rew_scale
     if per_w is None:
         per_w = jnp.ones(ep.shape, F32)
-    valid = (meta[1] >= 0) & (t < length)
+    valid = (row_t[:, R - 2] >= 0) & (t < length)
     return MiniBatch(ep=ep, t=t, s_t=s_t, s_t1=s_t1,
-                     action=row_t[ch_act:ch_mu].T,
-                     mu=row_t[ch_mu:ch_qret].T,
-                     qret=row_t[ch_qret], reward_next=r_next,
+                     action=row_t[:, ch_act:ch_mu],
+                     mu=row_t[:, ch_mu:ch_qret],
+                     qret=row_t[:, ch_qret], reward_next=r_next,
                      is_last=is_last, terminal_next=terminal_next,
                      truncated_next=truncated_next, per_w=per_w,
-                     valid=valid, rho_old=row_t[wb0 + 0],
-                     value_old=row_t[wb0 + 3])
+                     valid=valid, rho_old=row_t[:, wb0 + 0],
+                     value_old=row_t[:, wb0 + 3], row_t=row_t,
+                     row_t1=row_t1)
 
 
 def write_back(rs: rb.ReplayState, mb: MiniBatch, rho, dkl, delta,
                value, advantage) -> rb.ReplayState:
     """MiniBatch::setMseDklImpw + setValues (MiniBatch.h:161-188).
 
-    ONE scatter into the contiguous trailing [rho, kl, delta, value,
-    advantage] channel slice of the packed record (pre-packing: 5).
-    Also maintains the incremental per-slot far-policy counts (the
-    reference's Episode::updateCumulative_atomic, Episode.h:112-129:
-    wasFarPol/isFarPol delta applied on every sampled write; the stored
-    rho rides along in the minibatch gather as mb.rho_old). Rows with
-    mb.valid == False (empty-shard samples) are dropped."""
+    ONE full-row scatter into the packed record (pre-packing: 5): the
+    new [rho, kl, delta, value, advantage] trailing channels are emitted
+    together with the GATHERED fixed channels (reward/action/mu/qret —
+    bit-identical re-writes; partial-width scatters are ~15x slower on
+    this backend, profile_layout.py). Also maintains the incremental
+    per-slot far-policy counts (Episode::updateCumulative_atomic,
+    Episode.h:112-129: wasFarPol/isFarPol delta applied on every sampled
+    write; the stored rho rode along in the minibatch gather as
+    mb.rho_old). Rows with mb.valid == False (empty-shard samples) are
+    dropped."""
     t = mb.t
     ep = jnp.where(mb.valid, mb.ep, rs.n_slots) if mb.valid is not None \
         else mb.ep
@@ -173,9 +203,48 @@ def write_back(rs: rb.ReplayState, mb: MiniBatch, rho, dkl, delta,
     is_far = rb.is_far_policy(rho, rs.cmax_ret, rs.cinv_ret)
     delta_far = is_far.astype(jnp.float32) - was_far.astype(jnp.float32)
     wb0 = rs._c[3]
-    rows = jnp.stack([rho, dkl, delta, value, advantage], axis=0)
+    rows = jnp.concatenate(
+        [mb.row_t[:, :wb0],
+         jnp.stack([rho, dkl, delta, value, advantage], axis=-1),
+         mb.row_t[:, wb0 + 5:]],
+        axis=-1)
     return rs._replace(
-        steps=rs.steps.at[wb0:, ep, t].set(rows, mode="drop"),
+        steps=rs.steps.at[ep, t].set(rows, mode="drop"),
+        far_count=rs.far_count.at[ep].add(delta_far, mode="drop"),
+    )
+
+
+def write_back_with_next(rs: rb.ReplayState, mb: MiniBatch, rho, dkl,
+                         delta, value, advantage,
+                         v_next) -> rb.ReplayState:
+    """write_back + write_next_value fused into ONE [2B, R] full-row
+    scatter (plus the far-count add): the t-rows carry the new
+    [rho..advantage] channels, the t+1-rows (kept only for truncated
+    samples, mode='drop' otherwise) refresh V(s_T). Positions cannot
+    alias across the two halves — sampled t is always < T while the
+    next-value rows sit at exactly T — so one scatter preserves the
+    sequential two-scatter semantics."""
+    t = mb.t
+    ep = jnp.where(mb.valid, mb.ep, rs.n_slots) if mb.valid is not None \
+        else mb.ep
+    was_far = rb.is_far_policy(mb.rho_old, rs.cmax_ret, rs.cinv_ret)
+    is_far = rb.is_far_policy(rho, rs.cmax_ret, rs.cinv_ret)
+    delta_far = is_far.astype(jnp.float32) - was_far.astype(jnp.float32)
+    wb0 = rs._c[3]
+    ch_value = wb0 + 3
+    rows = jnp.concatenate(
+        [mb.row_t[:, :wb0],
+         jnp.stack([rho, dkl, delta, value, advantage], axis=-1),
+         mb.row_t[:, wb0 + 5:]],
+        axis=-1)
+    t1 = jnp.where(mb.truncated_next, mb.t + 1, rs.max_len + 1)
+    row1 = mb.row_t1.at[:, ch_value].set(
+        jnp.where(mb.truncated_next, v_next, 0.0))
+    ep2 = jnp.concatenate([ep, mb.ep])
+    t2 = jnp.concatenate([t, t1])
+    rows2 = jnp.concatenate([rows, row1], axis=0)
+    return rs._replace(
+        steps=rs.steps.at[ep2, t2].set(rows2, mode="drop"),
         far_count=rs.far_count.at[ep].add(delta_far, mode="drop"),
     )
 
@@ -183,11 +252,19 @@ def write_back(rs: rb.ReplayState, mb: MiniBatch, rho, dkl, delta,
 def write_next_value(rs: rb.ReplayState, mb: MiniBatch,
                      v_next) -> rb.ReplayState:
     """Refresh V(s_T) for sampled pre-truncation steps
-    (MB.setValues(bID, t+1, vNext), e.g. RACER_train.cpp:23-27)."""
+    (MB.setValues(bID, t+1, vNext), e.g. RACER_train.cpp:23-27).
+
+    Full-row scatter of the gathered t+1 record with only the value
+    channel replaced: semantically identical to the single-channel
+    write — t+1 == T here, and nothing else writes at T (sampled t is
+    always < T), so re-emitting the other gathered channels is a
+    no-op — while avoiding the slow partial-width scatter path."""
     t1 = jnp.where(mb.truncated_next, mb.t + 1, rs.max_len + 1)
     ch_value = rs._c[3] + 3
-    return rs._replace(steps=rs.steps.at[ch_value, mb.ep, t1].set(
-        jnp.where(mb.truncated_next, v_next, 0.0), mode="drop"))
+    row1 = mb.row_t1.at[:, ch_value].set(
+        jnp.where(mb.truncated_next, v_next, 0.0))
+    return rs._replace(steps=rs.steps.at[mb.ep, t1].set(
+        row1, mode="drop"))
 
 
 def post_step_processing(rs: rb.ReplayState, cfg, opt_step, delta_q,

@@ -30,8 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from smarties_tpu.algos.base import (default_metrics, gather_minibatch,
-                                     post_step_processing, write_back,
-                                     write_next_value)
+                                     post_step_processing, write_back_with_next)
 from smarties_tpu.core.mdp import MDPSpec
 from smarties_tpu.models.net import NetSpec, apply_net, init_params
 from smarties_tpu.models.optim import (AdamConfig, AdamState, adam_init,
@@ -45,6 +44,7 @@ F32 = jnp.float32
 
 
 class DPG:
+    presample = True   # uniform sampling hoistable out of scan bodies
     def __init__(self, mdp: MDPSpec, cfg: HyperParameters):
         assert not mdp.is_discrete, "DPG requires continuous actions"
         self.mdp = mdp
@@ -164,7 +164,7 @@ class DPG:
 
     # ------------------------------------------------------------------
     def train_step(self, params, opt_state: AdamState, rs: rb.ReplayState,
-                   key, axis_name=None):
+                   key, axis_name=None, sample_override=None):
         """DPG::Train (DPG.cpp:12-80) as one XLA program."""
         cfg = self.cfg
         nA = self.mdp.dim_action
@@ -174,8 +174,12 @@ class DPG:
             else cfg.batchSize
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        k_samp, = jax.random.split(key, 1)
-        ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
+        if sample_override is not None:
+            ep, t = sample_override   # hoisted pre-sampling (base.py
+            # presample_uniform: in-body RNG costs ~100 us/step)
+        else:
+            k_samp, = jax.random.split(key, 1)
+            ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
         mb = gather_minibatch(rs, ep, t)
         net, tgt = params["net"], params["tgt"]
 
@@ -276,8 +280,8 @@ class DPG:
         q_val = self._critic(net, feat_ng, mb.action)
         v_val = self._critic(net, feat_ng, mean)
         err = target - q_val
-        rs = write_back(rs, mb, rho, dkl, err, v_val, q_val - v_val)
-        rs = write_next_value(rs, mb, v_next)
+        rs = write_back_with_next(rs, mb, rho, dkl, err, v_val,
+                                  q_val - v_val, v_next)
         rs, frac_off = post_step_processing(rs, cfg, new_opt.step, err,
                                             axis_name)
         metrics = default_metrics(dkl, rho, is_far, frac_off, rs.beta,

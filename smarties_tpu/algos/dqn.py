@@ -23,7 +23,7 @@ import numpy as np
 from smarties_tpu.algos.base import (bptt_window, default_metrics,
                                      gather_minibatch, post_step_processing,
                                      seq_forward_vjp, seq_outputs,
-                                     write_back, write_next_value)
+                                     write_back_with_next)
 from smarties_tpu.core.mdp import MDPSpec
 from smarties_tpu.models.net import (Conv2DDesc, NetSpec,
                                      apply_net, init_params)
@@ -44,6 +44,7 @@ def _soft_expected_value(q_hat, q_tilde):
 
 
 class DQN:
+    presample = True   # uniform sampling hoistable out of scan bodies
     def __init__(self, mdp: MDPSpec, cfg: HyperParameters):
         assert mdp.is_discrete, "DQN requires discrete actions"
         self.mdp = mdp
@@ -94,7 +95,7 @@ class DQN:
 
     # ------------------------------------------------------------------
     def train_step(self, params, opt_state: AdamState, rs: rb.ReplayState,
-                   key, axis_name=None):
+                   key, axis_name=None, sample_override=None):
         """DQN::Train (DQN.cpp:150-211) as one XLA program."""
         cfg = self.cfg
         n_shards = (jax.lax.psum(1, axis_name) if axis_name is not None
@@ -103,8 +104,12 @@ class DQN:
             else cfg.batchSize
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        k_samp, = jax.random.split(key, 1)
-        ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
+        if sample_override is not None:
+            ep, t = sample_override   # hoisted pre-sampling (base.py
+            # presample_uniform: in-body RNG costs ~100 us/step)
+        else:
+            k_samp, = jax.random.split(key, 1)
+            ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
         mb = gather_minibatch(rs, ep, t,
                               n_appended=self.mdp.n_appended_obs)
         opt = mb.action[..., 0].astype(jnp.int32)
@@ -173,8 +178,8 @@ class DQN:
         new_params = {"net": new_net, "tgt": new_tgt}
 
         v_val = _soft_expected_value(qs, qs)
-        rs = write_back(rs, mb, rho, dkl, td_error, v_val, q_a - v_val)
-        rs = write_next_value(rs, mb, v_next)
+        rs = write_back_with_next(rs, mb, rho, dkl, td_error, v_val,
+                                  q_a - v_val, v_next)
         rs, frac_off = post_step_processing(rs, cfg, new_opt.step, td_error,
                                             axis_name)
         metrics = default_metrics(dkl, rho, is_far, frac_off, rs.beta,

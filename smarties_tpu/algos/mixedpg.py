@@ -18,8 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from smarties_tpu.algos.base import (default_metrics, gather_minibatch,
-                                     post_step_processing, write_back,
-                                     write_next_value)
+                                     post_step_processing, write_back_with_next)
 from smarties_tpu.core.mdp import MDPSpec
 from smarties_tpu.models.net import NetSpec, apply_net, init_params
 from smarties_tpu.models.optim import (AdamConfig, AdamState, adam_init,
@@ -43,6 +42,7 @@ class MixedPGOptState(NamedTuple):
 
 
 class MixedPG:
+    presample = True   # uniform sampling hoistable out of scan bodies
     def __init__(self, mdp: MDPSpec, cfg: HyperParameters):
         assert not mdp.is_discrete
         self.mdp = mdp
@@ -110,7 +110,7 @@ class MixedPG:
 
     # ------------------------------------------------------------------
     def train_step(self, params, opt_state: MixedPGOptState,
-                   rs: rb.ReplayState, key, axis_name=None):
+                   rs: rb.ReplayState, key, axis_name=None, sample_override=None):
         """MixedPG::Train (MixedPG.cpp:12-66) as one XLA program."""
         cfg = self.cfg
         nA = self.mdp.dim_action
@@ -120,8 +120,12 @@ class MixedPG:
             else cfg.batchSize
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        k_samp, = jax.random.split(key, 1)
-        ep, t = rb.sample(k_samp, rs, B, cfg.dataSamplingAlgo)
+        if sample_override is not None:
+            ep, t = sample_override   # hoisted pre-sampling (base.py
+            # presample_uniform: in-body RNG costs ~100 us/step)
+        else:
+            k_samp, = jax.random.split(key, 1)
+            ep, t = rb.sample(k_samp, rs, B, cfg.dataSamplingAlgo)
         mb = gather_minibatch(rs, ep, t)
 
         mean, v_act, sraw = self._actor(params, mb.s_t)
@@ -205,10 +209,10 @@ class MixedPG:
         new_opt = MixedPGOptState(adam=new_adam, dpg_factor=new_factor,
                                   err_q_factor=new_errq)
 
-        rs = write_back(rs, mb, rho, dkl, a_ret - a_est, v_est, a_est)
         m1, vn, _ = self._actor(params, mb.s_t1)
         v_next = (self._critic(params, mb.s_t1, m1) + vn) / 2
-        rs = write_next_value(rs, mb, v_next)
+        rs = write_back_with_next(rs, mb, rho, dkl, a_ret - a_est, v_est,
+                                  a_est, v_next)
         rs, frac_off = post_step_processing(rs, cfg, new_opt.step,
                                             a_ret - a_est, axis_name)
         metrics = default_metrics(dkl, rho, is_far, frac_off, rs.beta,

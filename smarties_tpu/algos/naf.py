@@ -20,7 +20,7 @@ import numpy as np
 from smarties_tpu.algos.base import (bptt_window, default_metrics,
                                      gather_minibatch, post_step_processing,
                                      seq_forward_vjp, seq_outputs,
-                                     write_back, write_next_value)
+                                     write_back_with_next)
 from smarties_tpu.core.mdp import MDPSpec
 from smarties_tpu.models.net import (Conv2DDesc, NetSpec,
                                      apply_net, init_params)
@@ -41,6 +41,7 @@ def _hard_sigmoid(x):
 
 
 class NAF:
+    presample = True   # uniform sampling hoistable out of scan bodies
     def __init__(self, mdp: MDPSpec, cfg: HyperParameters):
         assert not mdp.is_discrete, "NAF requires continuous actions"
         self.mdp = mdp
@@ -124,7 +125,7 @@ class NAF:
 
     # ------------------------------------------------------------------
     def train_step(self, params, opt_state: AdamState, rs: rb.ReplayState,
-                   key, axis_name=None):
+                   key, axis_name=None, sample_override=None):
         """NAF::Train (NAF.cpp:121-165) as one XLA program."""
         cfg = self.cfg
         nA = self.mdp.dim_action
@@ -134,8 +135,12 @@ class NAF:
             else cfg.batchSize
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        k_samp, = jax.random.split(key, 1)
-        ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
+        if sample_override is not None:
+            ep, t = sample_override   # hoisted pre-sampling (base.py
+            # presample_uniform: in-body RNG costs ~100 us/step)
+        else:
+            k_samp, = jax.random.split(key, 1)
+            ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
         mb = gather_minibatch(rs, ep, t)
 
         spec = self.spec
@@ -200,8 +205,8 @@ class NAF:
                                 new_opt.step)
         new_params = {"net": new_net, "tgt": new_tgt}
 
-        rs = write_back(rs, mb, rho, dkl, error, v, a_val)
-        rs = write_next_value(rs, mb, v_next)
+        rs = write_back_with_next(rs, mb, rho, dkl, error, v, a_val,
+                                  v_next)
         rs, frac_off = post_step_processing(rs, cfg, new_opt.step, error,
                                             axis_name)
         metrics = default_metrics(dkl, rho, is_far, frac_off, rs.beta,

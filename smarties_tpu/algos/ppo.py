@@ -56,6 +56,7 @@ class PPOOptState(NamedTuple):
 
 
 class PPO:
+    presample = True   # uniform sampling hoistable out of scan bodies
     on_policy = True
 
     def __init__(self, mdp: MDPSpec, cfg: HyperParameters):
@@ -161,7 +162,7 @@ class PPO:
 
     # ------------------------------------------------------------------
     def train_step(self, params, opt_state: PPOOptState,
-                   rs: rb.ReplayState, key, axis_name=None):
+                   rs: rb.ReplayState, key, axis_name=None, sample_override=None):
         """PPO::Train (PPO_train.cpp:19-71) + updatePenalizationCoef
         (:5-16) as one XLA program."""
         cfg = self.cfg
@@ -172,8 +173,12 @@ class PPO:
             else cfg.batchSize
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        k_samp, = jax.random.split(key, 1)
-        ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
+        if sample_override is not None:
+            ep, t = sample_override   # hoisted pre-sampling (base.py
+            # presample_uniform: in-body RNG costs ~100 us/step)
+        else:
+            k_samp, = jax.random.split(key, 1)
+            ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
         mb = gather_minibatch(rs, ep, t)
         value_old = mb.value_old     # V recorded at acting time (rides
         # along in the packed minibatch-record gather)

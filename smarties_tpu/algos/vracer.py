@@ -29,8 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from smarties_tpu.algos.base import (default_metrics, gather_minibatch,
-                                     post_step_processing, write_back,
-                                     write_next_value)
+                                     post_step_processing,
+                                     write_back_with_next)
 from smarties_tpu.core.mdp import MDPSpec
 from smarties_tpu.models.net import (Conv2DDesc, NetSpec,
                                      apply_net, init_params)
@@ -49,6 +49,8 @@ F32 = jnp.float32
 class VRacer:
     """RACER family learner. adv_kind selects the advantage family; the
     default follows the factory rules from cfg.learner."""
+    presample = True   # uniform sampling hoistable out of scan bodies
+
 
     def __init__(self, mdp: MDPSpec, cfg: HyperParameters,
                  adv_kind: str | None = None):
@@ -295,13 +297,13 @@ class VRacer:
                                         self.adam_cfg, 1.0 / cfg.batchSize)
 
         # ---- write-backs (MiniBatch::setMseDklImpw / setValues) ----
-        rs = write_back(rs, mb, rho, dkl, delta_q, v_val, a_val)
-        # refresh V(s_T) when the sampled step precedes a truncation
-        # (RACER_train.cpp:22-27): forward the next state, no gradient
+        # write-backs + V(s_T) refresh when the sampled step precedes a
+        # truncation (RACER_train.cpp:22-27): ONE fused scatter
         out_next = (jax.lax.stop_gradient(out_next_pre)
                     if out_next_pre is not None else fwd(params, mb.s_t1))
         v_next = scale_net2v(out_next[..., 0])
-        rs = write_next_value(rs, mb, v_next)
+        rs = write_back_with_next(rs, mb, rho, dkl, delta_q, v_val, a_val,
+                                  v_next)
 
         rs, frac_off = post_step_processing(rs, cfg, new_opt.step, delta_q,
                                             axis_name)

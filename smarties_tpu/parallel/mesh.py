@@ -41,13 +41,9 @@ def replay_pspec(rs) -> "ReplayStatePSpec":
     samp_cl is the per-SHARD sampling cumsum, local by construction),
     replicated scalars/stat vectors."""
     import dataclasses as _dc
-    # slot axis is dim 0 for states/far_count/qret_stale, dim 1 for the
-    # channel-major packed arrays (steps [R,E,L+1], slot_meta [3,E],
-    # samp_cl [2,E])
-    dim0 = {"states", "far_count", "qret_stale"}
-    dim1 = {"steps", "slot_meta", "samp_cl"}
-    kw = {f.name: (P(AXIS) if f.name in dim0
-                   else P(None, AXIS) if f.name in dim1 else P())
+    sharded = {"states", "steps", "slot_meta", "far_count", "qret_stale",
+               "samp_cl"}
+    kw = {f.name: (P(AXIS) if f.name in sharded else P())
           for f in _dc.fields(rs) if not f.metadata.get("static")}
     return type(rs)(dim_action=rs.dim_action, dim_policy=rs.dim_policy,
                     **kw)
@@ -92,19 +88,43 @@ def make_sharded_fns(algo, rollout_chunk_fn, rs_template, carry_template,
     # over; compiled variants are cached per n.
     _train_cache, _roll_cache = {}, {}
 
+    can_pre = (getattr(algo, "presample", False)
+               and algo.cfg.dataSamplingAlgo in ("uniform", "default"))
+    n_shards = mesh.devices.size
+
     def train(params, opt_state, rs, keys, n):
         if n not in _train_cache:
             def train_chunk(params, opt_state, rs, keys):
                 key = keys[0]
-
-                def body(c, k):
-                    p, o, r = c
-                    p, o, r, m = algo.train_step(p, o, r, k, axis_name=AXIS)
-                    return (p, o, r), m
-
                 ks = jax.random.split(key, n)
+                if can_pre:
+                    # hoisted per-shard uniform pre-sampling (identical
+                    # key chain to the in-body path; see
+                    # algos/base.presample_uniform)
+                    from smarties_tpu.algos.base import presample_uniform
+                    eps, ts = presample_uniform(
+                        ks, rs, algo.cfg.batchSize // n_shards,
+                        axis_name=AXIS)
+
+                    def body(c, x):
+                        p, o, r = c
+                        k, e, t = x
+                        p, o, r, m = algo.train_step(
+                            p, o, r, k, axis_name=AXIS,
+                            sample_override=(e, t))
+                        return (p, o, r), m
+
+                    xs = (ks, eps, ts)
+                else:
+                    def body(c, k):
+                        p, o, r = c
+                        p, o, r, m = algo.train_step(p, o, r, k,
+                                                     axis_name=AXIS)
+                        return (p, o, r), m
+
+                    xs = ks
                 (params, opt_state, rs), ms = jax.lax.scan(
-                    body, (params, opt_state, rs), ks)
+                    body, (params, opt_state, rs), xs)
                 return (params, opt_state, rs, ms,
                         jax.random.fold_in(key, n)[None])
 

@@ -7,27 +7,31 @@ arrays [n_slots, max_len+1, ...] with validity masks, so that ingestion,
 sampling, Retrace recomputation, ReF-ER bookkeeping and forgetting are all
 jit-compiled masked array ops (no host round-trips in the hot path).
 
-PACKED LAYOUT (round-4 redesign). The train step is latency-bound on this
-backend (~14 us per independent gather/scatter at ~25 us kernel floor;
-docs/RESULTS.md), so all per-transition scalars live in ONE packed
-CHANNEL-MAJOR record array `steps [R, E, L+1]` with channel order
+PACKED LAYOUT (round-4 redesign, informed by tools/profile_layout.py on
+the axon TPU backend). All per-transition scalars live in ONE packed
+record array `steps [E, L+1, R]` (record trailing) with channel order
 
     [ reward(1) | action(dimA) | mu(dimPol) | qret(1) |
       rho(1) | kl(1) | delta(1) | value(1) | advantage(1) ]
 
-and the per-slot integers in ONE `slot_meta [3, E]` = [length; ep_id;
-terminal]. Channel-major matters: TPU arrays tile (8, 128) on the two
-minor dims, so a channels-MINOR [E, L+1, R~10] layout pads the lane
-dimension 10->128 and moves ~12x the bytes on every access (measured
-~4.4 ms/step); with channels MAJOR each channel is a contiguous
-[E, L+1] slab identical to the pre-packing per-field arrays — property
-reads (`rs.rho`, ...) are zero-copy slabs — while a minibatch gather is
-3 gathers (states; step records at t and t+1 fused into one with a full
-slice over R; slot_meta) instead of ~8, and the 5-field write-back of
-MiniBatch::setMseDklImpw is ONE scatter into the [rho..advantage]
-channel-range instead of 5. `samp_cl [2, E]` caches [cumsum(len); len]
-for uniform sampling, rebuilt at every commit/prune/clear (the only
-places lengths change).
+and the per-slot integers in `slot_meta [E, 3]` = [length, ep_id,
+terminal]. Measured rules that force this exact shape (profile_layout):
+full-ROW gathers/scatters indexed on the LEADING dims with the record
+trailing run at the same speed as scalar gathers (row10 ~= row1), while
+(a) PARTIAL-width scatters like `.at[ep, t, wb0:]` and (b) any
+gather/scatter indexing a non-leading dim (a channel-major [R, E, L+1]
+layout) are ~15x slower — so every hot write is a FULL-row scatter:
+write_back re-emits the gathered fixed channels (bit-identical values)
+alongside the new [rho..advantage] ones. The record also mirrors the
+slot_meta integers as trailing channels (see _ch). A minibatch then
+costs 2 gathers (states at t/t+1 fused; full records at t/t+1 fused,
+meta riding along) and ONE fused [2B, R] full-row scatter + 1 far-count
+add (write_back + the V(s_T) refresh), instead of the pre-packing ~8
+gathers + 6 scatters. `samp_cl [E, 2]` caches [cumsum(len),
+episode-start-offset] for uniform sampling, rebuilt at every commit/
+prune/clear (the only places lengths change); the other per-iteration
+cost hoisted out of train-step scan bodies is the RNG (see
+algos/base.py presample_uniform).
 
 Array layout (state-indexed time axis, see ops/returns.py):
   t in [0, T]   : states; V/A/Qret; rho/kl/delta (rho[T] == 0)
@@ -64,23 +68,39 @@ _COMPAT_CHANNELS = {"rewards", "actions", "mus", "qret", "rho", "kl",
 
 def _ch(dim_action: int, dim_policy: int):
     """(CH_ACT, CH_MU, CH_QRET, WB0, R): channel offsets for the packed
-    per-step record. WB0 is the start of the contiguous write-back slice
+    per-step record. WB0 is the start of the write-back slice
     [rho, kl, delta, value, advantage] (the 5 fields of
-    MiniBatch::setMseDklImpw + setValues, MiniBatch.h:161-188)."""
+    MiniBatch::setMseDklImpw + setValues, MiniBatch.h:161-188). The
+    record additionally MIRRORS the slot_meta integers as three trailing
+    f32 channels [length, ep_id, terminal] at WB0+5 (exact for len <=
+    2^24 and ids < 2^24), replicated along the time axis — so the
+    minibatch gather needs no separate slot_meta gather (~20 us/step on
+    this backend). slot_meta [E, 3] stays authoritative for full-array
+    ops; the mirror is refreshed wherever slot_meta changes
+    (commit scatter rows / prune / clear / rebalance)."""
     ch_act = 1
     ch_mu = ch_act + dim_action
     ch_qret = ch_mu + dim_policy
     wb0 = ch_qret + 1
-    r = wb0 + 5
+    r = wb0 + 5 + 3
     return ch_act, ch_mu, ch_qret, wb0, r
+
+
+def _sync_meta_mirror(steps, slot_meta):
+    """Rewrite the trailing meta-mirror channels of `steps` from
+    slot_meta (one dynamic-update-slice over the channel range)."""
+    E, L1, R = steps.shape
+    mirror = jnp.broadcast_to(
+        slot_meta.astype(F32)[:, None, :], (E, L1, 3))
+    return steps.at[:, :, R - 3:].set(mirror)
 
 
 @dataclass(frozen=True)
 class ReplayState:
     # episode storage
     states: jnp.ndarray      # [E, L+1, dimS] raw (unstandardized) states
-    steps: jnp.ndarray       # [R, E, L+1] packed per-step record (above)
-    slot_meta: jnp.ndarray   # [3, E] i32 [length; ep_id; terminal]
+    steps: jnp.ndarray       # [E, L+1, R] packed per-step record (above)
+    slot_meta: jnp.ndarray   # [E, 3] i32 [length, ep_id, terminal]
     # ReF-ER / annealing scalars (MemoryBuffer.h:41-44)
     beta: jnp.ndarray        # penalization weight in [0, 1]
     alpha: jnp.ndarray       # CMA cost mix
@@ -107,11 +127,11 @@ class ReplayState:
     # zeros until refresh_new_returns runs (the at-ingest Retrace of
     # MemoryBuffer::terminateCurrentEpisode, batched per rollout chunk)
     qret_stale: jnp.ndarray      # [E] bool
-    # cached [cumsum(valid len); valid len] i32 for uniform sampling —
-    # rebuilt wherever lengths change (commit/prune/clear/rebalance);
-    # per-SHARD local when the slot axis is sharded (exactly what
-    # per-shard sampling wants)
-    samp_cl: jnp.ndarray         # [2, E] i32
+    # cached [cumsum(valid len), episode start offset] i32 for uniform
+    # sampling — rebuilt wherever lengths change (commit/prune/clear/
+    # rebalance); per-SHARD local when the slot axis is sharded (exactly
+    # what per-shard sampling wants)
+    samp_cl: jnp.ndarray         # [E, 2] i32
     # static metadata needed to slice the packed record
     dim_action: int = field(default=0, metadata=dict(static=True))
     dim_policy: int = field(default=0, metadata=dict(static=True))
@@ -136,17 +156,17 @@ class ReplayState:
             meta_touched = False
             for name in list(kw):
                 if name in sl:
-                    steps = steps.at[sl[name]].set(kw.pop(name))
+                    steps = steps.at[..., sl[name]].set(kw.pop(name))
                 elif name == "actions":
-                    steps = steps.at[ch_act:ch_mu].set(
-                        jnp.moveaxis(kw.pop(name), -1, 0))
+                    steps = steps.at[..., ch_act:ch_mu].set(kw.pop(name))
                 elif name == "mus":
-                    steps = steps.at[ch_mu:ch_qret].set(
-                        jnp.moveaxis(kw.pop(name), -1, 0))
+                    steps = steps.at[..., ch_mu:ch_qret].set(kw.pop(name))
                 elif name in ("length", "ep_id", "terminal"):
                     i = ("length", "ep_id", "terminal").index(name)
-                    sm = sm.at[i].set(kw.pop(name).astype(I32))
-                    meta_touched = meta_touched or name != "terminal"
+                    sm = sm.at[:, i].set(kw.pop(name).astype(I32))
+                    meta_touched = True
+            if meta_touched:
+                steps = _sync_meta_mirror(steps, sm)
             out = dataclasses.replace(self, steps=steps, slot_meta=sm,
                                       **kw)
             return rebuild_sample_cache(out) if meta_touched else out
@@ -159,53 +179,53 @@ class ReplayState:
 
     @property
     def rewards(self):
-        return self.steps[CH_REW]
+        return self.steps[..., CH_REW]
 
     @property
     def actions(self):
         ch_act, ch_mu, _, _, _ = self._c
-        return jnp.moveaxis(self.steps[ch_act:ch_mu], 0, -1)
+        return self.steps[..., ch_act:ch_mu]
 
     @property
     def mus(self):
         _, ch_mu, ch_qret, _, _ = self._c
-        return jnp.moveaxis(self.steps[ch_mu:ch_qret], 0, -1)
+        return self.steps[..., ch_mu:ch_qret]
 
     @property
     def qret(self):
-        return self.steps[self._c[2]]
+        return self.steps[..., self._c[2]]
 
     @property
     def rho(self):
-        return self.steps[self._c[3] + 0]
+        return self.steps[..., self._c[3] + 0]
 
     @property
     def kl(self):
-        return self.steps[self._c[3] + 1]
+        return self.steps[..., self._c[3] + 1]
 
     @property
     def delta(self):
-        return self.steps[self._c[3] + 2]
+        return self.steps[..., self._c[3] + 2]
 
     @property
     def value(self):
-        return self.steps[self._c[3] + 3]
+        return self.steps[..., self._c[3] + 3]
 
     @property
     def advantage(self):
-        return self.steps[self._c[3] + 4]
+        return self.steps[..., self._c[3] + 4]
 
     @property
     def length(self):
-        return self.slot_meta[0]
+        return self.slot_meta[:, 0]
 
     @property
     def ep_id(self):
-        return self.slot_meta[1]
+        return self.slot_meta[:, 1]
 
     @property
     def terminal(self):
-        return self.slot_meta[2] > 0
+        return self.slot_meta[:, 2] > 0
 
     # ---------------- derived masks / counts ----------------
     @property
@@ -248,13 +268,12 @@ jax.tree_util.register_dataclass(
 
 def pack_step_record(rewards, actions, mus, qret, rho, kl, delta, value,
                      advantage):
-    """Assemble a CHANNEL-MAJOR [R, ...] packed record from per-field
-    arrays (scalar fields [...], vector fields [..., d])."""
-    one = lambda x: x[None]
-    vec = lambda x: jnp.moveaxis(x, -1, 0)
+    """Assemble a [..., R] packed record from per-field arrays (leading
+    dims arbitrary; scalar fields [...], vector fields [..., d])."""
+    one = lambda x: x[..., None]
     return jnp.concatenate(
-        [one(rewards), vec(actions), vec(mus), one(qret), one(rho),
-         one(kl), one(delta), one(value), one(advantage)], axis=0)
+        [one(rewards), actions, mus, one(qret), one(rho), one(kl),
+         one(delta), one(value), one(advantage)], axis=-1)
 
 
 def safe_mu(mdp) -> np.ndarray:
@@ -289,13 +308,14 @@ def init_replay(n_slots: int, max_len: int, dim_state: int, dim_action: int,
     E, L1 = n_slots, max_len + 1
     C = clip_imp_weight
     _, ch_mu, ch_qret, _, R = _ch(dim_action, dim_policy)
-    steps = jnp.zeros((R, E, L1), F32)
+    steps = jnp.zeros((E, L1, R), F32)
     if mu_init is not None:
-        steps = steps.at[ch_mu:ch_qret].set(
-            jnp.asarray(mu_init, F32)[:, None, None])
+        steps = steps.at[:, :, ch_mu:ch_qret].set(
+            jnp.asarray(mu_init, F32))
     slot_meta = jnp.concatenate(
-        [jnp.zeros((1, E), I32), -jnp.ones((1, E), I32),
-         jnp.zeros((1, E), I32)], axis=0)
+        [jnp.zeros((E, 1), I32), -jnp.ones((E, 1), I32),
+         jnp.zeros((E, 1), I32)], axis=1)
+    steps = _sync_meta_mirror(steps, slot_meta)
     z = lambda *s: jnp.zeros(s, F32)
     return ReplayState(
         states=jnp.zeros((E, L1, dim_state), state_dtype),
@@ -312,17 +332,18 @@ def init_replay(n_slots: int, max_len: int, dim_state: int, dim_action: int,
         n_pruned_eps=jnp.int32(0), max_abs_error=jnp.float32(0.0),
         far_count=jnp.zeros((E,), F32),
         qret_stale=jnp.zeros((E,), bool),
-        samp_cl=jnp.zeros((2, E), I32),
+        samp_cl=jnp.zeros((E, 2), I32),
         dim_action=dim_action, dim_policy=dim_policy,
     )
 
 
 def rebuild_sample_cache(rs: ReplayState) -> ReplayState:
-    """Refresh the cached [cumsum(len); len] pair used by uniform
-    sampling. Must run after any operation that changes lengths/validity
-    (commit/prune/clear/rebalance all do)."""
+    """Refresh the cached [cumsum(len), episode-start] pair used by
+    uniform sampling. Must run after any operation that changes lengths/
+    validity (commit/prune/clear/rebalance all do)."""
     lens = jnp.where(rs.valid_slots(), rs.length, 0)
-    cl = jnp.stack([jnp.cumsum(lens), lens], axis=0)
+    csum = jnp.cumsum(lens)
+    cl = jnp.stack([csum, csum - lens], axis=1)
     return rs._replace(samp_cl=cl)
 
 
@@ -397,10 +418,10 @@ def commit_episodes_packed(rs: ReplayState, ep_states, ep_steps, ep_length,
                            ids_override=None):
     """Scatter finished PACKED episodes into replay slots and prune.
 
-    ep_states [V, L+1, dimS], ep_steps [R, V, L+1] (channel-major record
-    layout above), ep_length [V] i32, ep_terminal [V] bool,
-    done_mask [V] bool. Replaces the reference's mutex-guarded
-    pushBackEpisode + applyEpisodesRemovalAlgo (MemoryBuffer.cpp:479-520,
+    ep_states [V, L+1, dimS], ep_steps [V, L+1, R] (record layout
+    above), ep_length [V] i32, ep_terminal [V] bool, done_mask [V]
+    bool. Replaces the reference's mutex-guarded pushBackEpisode +
+    applyEpisodesRemovalAlgo (MemoryBuffer.cpp:479-520,
     MemoryProcessing.cpp:327-351).
 
     Victim-slot choice: the K lowest keep-priority slots (empty slots
@@ -423,11 +444,20 @@ def commit_episodes_packed(rs: ReplayState, ep_states, ep_steps, ep_length,
         return dst.at[tgt].set(src, mode="drop")
 
     ep_meta = jnp.stack([ep_length.astype(I32), new_ids.astype(I32),
-                         ep_terminal.astype(I32)], axis=0)
+                         ep_terminal.astype(I32)], axis=1)
+    # rows carry the meta mirror in their trailing 3 channels: append
+    # (per-field callers pack R-3 wide) or overwrite (full-R payloads)
+    L1 = rs.steps.shape[1]
+    R = rs.steps.shape[2]
+    mrr = jnp.broadcast_to(ep_meta.astype(F32)[:, None, :], (V, L1, 3))
+    if ep_steps.shape[-1] == R - 3:
+        ep_steps = jnp.concatenate([ep_steps, mrr], axis=-1)
+    else:
+        ep_steps = ep_steps.at[:, :, R - 3:].set(mrr)
     rs = rs._replace(
         states=put(rs.states, ep_states),
-        steps=rs.steps.at[:, tgt].set(ep_steps, mode="drop"),
-        slot_meta=rs.slot_meta.at[:, tgt].set(ep_meta, mode="drop"),
+        steps=put(rs.steps, ep_steps),
+        slot_meta=put(rs.slot_meta, ep_meta),
         # fresh episodes arrive with rho == 1 everywhere: zero far steps
         far_count=put(rs.far_count, jnp.zeros(V, F32)),
         qret_stale=put(rs.qret_stale, jnp.ones(V, bool)),
@@ -471,10 +501,12 @@ def prune_to_capacity(rs: ReplayState, max_tot_obs: int, filter_algo: str):
     pruned = rs.n_stored_eps() - jnp.sum(keep.astype(I32))
     # invalidate: length -> 0, ep_id -> -1, terminal kept (unused when
     # invalid)
-    inval = (rs.slot_meta * jnp.asarray([0, 0, 1], I32)[:, None]
-             + jnp.asarray([0, -1, 0], I32)[:, None])
+    inval = (rs.slot_meta * jnp.asarray([0, 0, 1], I32)
+             + jnp.asarray([0, -1, 0], I32))
+    sm = jnp.where(keep[:, None], rs.slot_meta, inval)
     rs = rs._replace(
-        slot_meta=jnp.where(keep[None, :], rs.slot_meta, inval),
+        slot_meta=sm,
+        steps=_sync_meta_mirror(rs.steps, sm),
         far_count=jnp.where(keep, rs.far_count, 0.0),
         n_pruned_eps=rs.n_pruned_eps + pruned,
     )
@@ -484,9 +516,10 @@ def prune_to_capacity(rs: ReplayState, max_tot_obs: int, filter_algo: str):
 def clear_all(rs: ReplayState) -> ReplayState:
     """Invalidate every episode (PPO epoch-end clearAll,
     MemoryBuffer clearAll / PPO.cpp:105-112)."""
-    inval = (rs.slot_meta * jnp.asarray([0, 0, 1], I32)[:, None]
-             + jnp.asarray([0, -1, 0], I32)[:, None])
-    return rebuild_sample_cache(rs._replace(slot_meta=inval))
+    inval = (rs.slot_meta * jnp.asarray([0, 0, 1], I32)
+             + jnp.asarray([0, -1, 0], I32))
+    return rebuild_sample_cache(rs._replace(
+        slot_meta=inval, steps=_sync_meta_mirror(rs.steps, inval)))
 
 
 # ---------------------------------------------------------------------------
@@ -499,14 +532,13 @@ def sample_uniform(key, rs: ReplayState, batch: int):
     Reference: Sample_uniform (Sampling.cpp:49-99). The reference dedups and
     sorts for cache locality; with B << N collisions are negligible and
     gathers are order-independent on TPU, so plain iid draws are used.
-    Uses the cached [cumsum(len); len] pair (ONE gather)."""
+    Uses the cached [cumsum(len), start] pair (ONE gather)."""
     cl = rs.samp_cl
-    total = cl[0, -1]
+    total = cl[-1, 0]
     flat = jax.random.randint(key, (batch,), 0, jnp.maximum(total, 1))
-    ep = jnp.searchsorted(cl[0], flat, side="right").astype(I32)
+    ep = jnp.searchsorted(cl[:, 0], flat, side="right").astype(I32)
     ep = jnp.clip(ep, 0, rs.n_slots - 1)
-    g = cl[:, ep]                                 # [2, B]
-    t = (flat - (g[0] - g[1])).astype(I32)
+    t = (flat - cl[ep, 1]).astype(I32)
     return ep, t
 
 
@@ -663,7 +695,7 @@ def update_state_rew_stats(rs: ReplayState, learn_rate, b_init: bool = False,
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
     # rewards: entries t in [1, T]
-    t = jnp.arange(rs.steps.shape[2])
+    t = jnp.arange(rs.steps.shape[1])
     rmask = ((t[None, :] >= 1) & (t[None, :] <= rs.length[:, None])
              & rs.valid_slots()[:, None]).astype(F32)
     count = jnp.maximum(_gsum(jnp.sum(rmask)), 1.0)
@@ -701,9 +733,9 @@ def update_state_rew_stats(rs: ReplayState, learn_rate, b_init: bool = False,
 # ---------------------------------------------------------------------------
 
 def _set_qret(rs: ReplayState, qret) -> ReplayState:
-    """Write the qret channel of the packed record (one contiguous
-    channel-slab dynamic-update-slice)."""
-    return rs._replace(steps=rs.steps.at[rs._c[2]].set(qret))
+    """Write the qret channel of the packed record (full-array channel
+    update; runs at the amortized refresh cadence, not per step)."""
+    return rs._replace(steps=rs.steps.at[:, :, rs._c[2]].set(qret))
 
 
 def refresh_new_returns(rs: ReplayState, gamma: float, lam: float,
@@ -754,8 +786,8 @@ def rebalance_shards(rs: ReplayState, axis_name: str, k_max: int = 8,
     # zero the kl/delta channels of the shipped records (commit semantics:
     # fresh arrivals start with kl = delta = 0, as the per-field commit)
     wb0 = rs._c[3]
-    ship_steps = rs.steps[:, slots]
-    ship_steps = ship_steps.at[wb0 + 1:wb0 + 3].set(0.0)
+    ship_steps = rs.steps[slots]
+    ship_steps = ship_steps.at[:, :, wb0 + 1:wb0 + 3].set(0.0)
     payload = dict(
         states=rs.states[slots], steps=ship_steps,
         length=rs.length[slots], terminal=rs.terminal[slots], ship=ship)
@@ -765,10 +797,10 @@ def rebalance_shards(rs: ReplayState, axis_name: str, k_max: int = 8,
 
     # sender side: invalidate shipped slots
     drop = jnp.zeros((rs.n_slots,), bool).at[slots].set(ship)
-    inval = (rs.slot_meta * jnp.asarray([0, 0, 1], I32)[:, None]
-             + jnp.asarray([0, -1, 0], I32)[:, None])
+    inval = (rs.slot_meta * jnp.asarray([0, 0, 1], I32)
+             + jnp.asarray([0, -1, 0], I32))
     rs = rs._replace(
-        slot_meta=jnp.where(drop[None, :], inval, rs.slot_meta),
+        slot_meta=jnp.where(drop[:, None], inval, rs.slot_meta),
         far_count=jnp.where(drop, 0.0, rs.far_count))
 
     # receiver side: insert the neighbor's episodes (commit bookkeeping

@@ -172,15 +172,34 @@ class _LearnerBundle:
 
         self.commit_jit = jax.jit(commit_one)
 
-        def train_chunk(params, opt_state, rs, key, n):
-            def body(c, k):
-                p, o, r = c
-                p, o, r, m = algo.train_step(p, o, r, k)
-                return (p, o, r), m
+        can_pre = (getattr(algo, "presample", False)
+                   and cfg.dataSamplingAlgo in ("uniform", "default"))
 
+        def train_chunk(params, opt_state, rs, key, n):
             ks = jax.random.split(key, n)
+            if can_pre:
+                # hoisted uniform pre-sampling (in-body RNG costs
+                # ~100 us/step on this backend; base.presample_uniform)
+                from smarties_tpu.algos.base import presample_uniform
+                eps, ts = presample_uniform(ks, rs, cfg.batchSize)
+
+                def body(c, x):
+                    p, o, r = c
+                    k, e, t = x
+                    p, o, r, m = algo.train_step(
+                        p, o, r, k, sample_override=(e, t))
+                    return (p, o, r), m
+
+                xs = (ks, eps, ts)
+            else:
+                def body(c, k):
+                    p, o, r = c
+                    p, o, r, m = algo.train_step(p, o, r, k)
+                    return (p, o, r), m
+
+                xs = ks
             (params, opt_state, rs), ms = jax.lax.scan(
-                body, (params, opt_state, rs), ks)
+                body, (params, opt_state, rs), xs)
             return params, opt_state, rs, ms
 
         self.train_jit = jax.jit(train_chunk, static_argnums=4)

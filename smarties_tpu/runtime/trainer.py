@@ -110,18 +110,45 @@ class Trainer:
             cfg.gamma, cfg.lambda_, self.algo.returns_mode,
             cfg.ERoldSeqFilter, record_obs=self.obs_log)
 
-        if mesh is None:
-            self._rollout = jax.jit(chunk_fn, static_argnums=2)
+        # hoisted uniform pre-sampling: the per-iteration RNG primitives
+        # cost ~100 us inside scan bodies on this backend — one vmapped
+        # batch outside the scan is bit-identical and ~free
+        # (algos/base.py presample_uniform); PER samplers depend on the
+        # in-step TD errors and keep the in-body path
+        self._can_presample = (
+            getattr(self.algo, "presample", False)
+            and cfg.dataSamplingAlgo in ("uniform", "default"))
 
-            def train_chunk(params, opt_state, rs, key, n):
+        def _train_scan(params, opt_state, rs, keys):
+            from smarties_tpu.algos.base import presample_uniform
+            if self._can_presample:
+                eps, ts = presample_uniform(keys, rs,
+                                            self.cfg.batchSize)
+
+                def body(c, x):
+                    p, o, r = c
+                    k, e, t = x
+                    p, o, r, m = self.algo.train_step(
+                        p, o, r, k, sample_override=(e, t))
+                    return (p, o, r), m
+
+                xs = (keys, eps, ts)
+            else:
                 def body(c, k):
                     p, o, r = c
                     p, o, r, m = self.algo.train_step(p, o, r, k)
                     return (p, o, r), m
 
+                xs = keys
+            return jax.lax.scan(body, (params, opt_state, rs), xs)
+
+        if mesh is None:
+            self._rollout = jax.jit(chunk_fn, static_argnums=2)
+
+            def train_chunk(params, opt_state, rs, key, n):
                 keys = jax.random.split(key, n)
-                (params, opt_state, rs), ms = jax.lax.scan(
-                    body, (params, opt_state, rs), keys)
+                (params, opt_state, rs), ms = _train_scan(
+                    params, opt_state, rs, keys)
                 return params, opt_state, rs, ms
 
             self._train_chunk = jax.jit(train_chunk, static_argnums=4)
@@ -151,16 +178,10 @@ class Trainer:
                 rs2 = rb.refresh_new_returns(
                     carry.replay, cfg.gamma, cfg.lambda_,
                     self.algo.returns_mode, prefer_pallas=False)
-
-                def body(c, k):
-                    p, o, r = c
-                    p, o, r, m = self.algo.train_step(p, o, r, k)
-                    return (p, o, r), m
-
                 keys = jax.random.split(
                     jax.random.fold_in(carry.key, 7), n_train)
-                (params, opt_state, rs2), ms = jax.lax.scan(
-                    body, (params, opt_state, rs2), keys)
+                (params, opt_state, rs2), ms = _train_scan(
+                    params, opt_state, rs2, keys)
                 return params, opt_state, carry._replace(replay=rs2), ms, \
                     logs
 
