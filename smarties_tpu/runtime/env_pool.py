@@ -78,9 +78,9 @@ def _enter_sim_dir(env_id: int, launch_counter: int, launch_opts: dict):
 
 def _env_worker(app_main, conn, env_id: int, seed: int,
                 launch_opts: Optional[dict] = None,
-                team=None):
+                team=None, use_shm: bool = False):
     np.random.seed(seed)
-    comm = Communicator(conn, env_id)
+    comm = Communicator(conn, env_id, use_shm=use_shm)
     launch_opts = launch_opts or {}
     sim_dirs = launch_opts.get("sim_dirs", False)
     home = os.getcwd()
@@ -114,6 +114,8 @@ def _env_worker(app_main, conn, env_id: int, seed: int,
     except (TrainingTerminated, EOFError, KeyboardInterrupt):
         pass
     finally:
+        if comm._shm is not None:
+            comm._shm.close(unlink=True)
         conn.close()
 
 
@@ -146,13 +148,19 @@ class EnvPool:
     def __init__(self, app_main: Callable, n_envs: int, seed: int = 0,
                  max_respawns: int = 3,
                  launch_opts: Optional[dict] = None,
-                 workers_per_env: int = 1):
+                 workers_per_env: int = 1, use_shm: bool = True):
         """launch_opts (Launcher.cpp:122-236 features): dict with
         sim_dirs (bool), run_dir (str), setup_folder (str),
         app_settings (list of arg-file paths),
         arg_step_limits (list of child env-step thresholds)."""
         self._ctx = mp.get_context("fork")
         self._app_main = app_main
+        # shared-memory hot path (single-member pools; teams need the
+        # per-member pipe lockstep and keep the pickle transport)
+        self._use_shm = bool(use_shm) and int(max(1, workers_per_env)) == 1
+        self._shm = {}        # member j -> attached ShmChannel
+        self._shm_seen = {}   # member j -> consumed ring seq
+        self._shm_q = {}      # member j -> drained-but-unreturned msgs
         self._seed = seed
         self._launch_opts = launch_opts
         self.n_envs = n_envs
@@ -187,7 +195,7 @@ class EnvPool:
                 args=(self._app_main, child, t,
                       self._seed + j
                       + self.n_envs * M * self._respawns[t],
-                      self._launch_opts, team),
+                      self._launch_opts, team, self._use_shm),
                 daemon=True)
             p.start()
             child.close()
@@ -207,7 +215,11 @@ class EnvPool:
         self.mdps = spec_to_mdps(spec)  # one per learner (different_mdps)
         self.n_agents = spec.get("n_agents", 1)
         self.dist_agents = bool(spec.get("distributed_agents", False))
-        self._pending = {0: self._conns[0].recv()}  # first state is in
+        # next pipe message: the shm handshake (slab transport) or the
+        # first state (pipe transport)
+        msg = self._conns[0].recv()
+        if not self._ctrl(0, msg):
+            self._pending = {0: msg}    # first state is in
         return self.mdp
 
     @property
@@ -225,19 +237,67 @@ class EnvPool:
     def _member_of_channel(self, c: int) -> int:
         return c * self.n_members if self.dist_agents else c
 
+    def _attach_shm(self, j: int, msg):
+        """Handle a worker's ("shm", name, n_agents, dimS, dimA, ring)
+        handshake: map the slab; ring states flow from here on."""
+        from smarties_tpu.runtime.communicator import ShmChannel
+        _, name, n_agents, ds, da, ring = msg
+        old = self._shm.pop(j, None)
+        if old is not None:
+            old.close()
+        self._shm[j] = ShmChannel.attach(name, n_agents, ds, da, ring)
+        self._shm_seen[j] = 0
+        self._shm_q.pop(j, None)
+
+    def _ctrl(self, j: int, msg) -> bool:
+        """True if msg is a control message (consumed here)."""
+        if msg[0] == "spec":
+            return True
+        if msg[0] == "shm":
+            self._attach_shm(j, msg)
+            return True
+        return False
+
+    def _shm_next(self, j: int):
+        """Next undelivered ring state of member j, or None."""
+        ch = self._shm.get(j)
+        if ch is None:
+            return None
+        q = self._shm_q.get(j)
+        if not q:
+            entries, seq = ch.read_new(self._shm_seen[j])
+            self._shm_seen[j] = seq
+            if not entries:
+                return None
+            self._shm_q[j] = q = entries
+        return q.pop(0)
+
+    def _drop_shm(self, j: int):
+        ch = self._shm.pop(j, None)
+        if ch is not None:
+            ch.close(unlink=True)
+        self._shm_seen.pop(j, None)
+        self._shm_q.pop(j, None)
+
     def _recv(self, j: int):
         """Blocking recv from member j that detects a dead worker: returns
         None if the process died (the reference's crash surfaces as a FAIL
         status, Agent.h:23; detection analog of Worker.cpp:146)."""
         conn = self._conns[j]
         while True:
+            msg = self._shm_next(j)
+            if msg is not None:
+                return msg
             try:
-                if conn.poll(0.05):
+                if conn.poll(0.002 if j in self._shm else 0.05):
                     return conn.recv()
             except (EOFError, OSError):
                 return None
             if not self._procs[j].is_alive():
                 # drain anything the child flushed before dying
+                msg = self._shm_next(j)
+                if msg is not None:
+                    return msg
                 try:
                     if conn.poll(0):
                         return conn.recv()
@@ -249,6 +309,7 @@ class EnvPool:
         """Kill + respawn the whole crashed team (or give up)."""
         M = self.n_members
         for j in range(t * M, (t + 1) * M):
+            self._drop_shm(j)
             try:
                 self._conns[j].close()
             except OSError:
@@ -289,7 +350,7 @@ class EnvPool:
                 msg = self._recv(j)
             if msg is None:
                 return False
-            if msg[0] == "spec":
+            if self._ctrl(j, msg):
                 continue
             _, agent_id, status, state, reward = msg
             lane = c * self.n_agents + agent_id
@@ -314,7 +375,7 @@ class EnvPool:
                 msg = self._recv(j)
             if msg is None:
                 return False
-            if msg[0] == "spec":
+            if self._ctrl(j, msg):
                 continue
             _, agent_id, status, _, _ = msg
             if status in (INIT, CONT) and agent_id == self.n_agents - 1:
@@ -326,7 +387,12 @@ class EnvPool:
     def _try_recv(self, j: int):
         """Nonblocking recv from member j: a message, None (nothing
         buffered), or _DEAD if the worker died — the nonblocking
-        Irecv+Test of the reference's serving loop (Master.cpp:118-132)."""
+        Irecv+Test of the reference's serving loop (Master.cpp:118-132).
+        Ring states (shared-memory hot path) are drained first; the pipe
+        carries only control traffic for shm members."""
+        msg = self._shm_next(j)
+        if msg is not None:
+            return msg
         conn = self._conns[j]
         try:
             if conn.poll(0):
@@ -334,6 +400,9 @@ class EnvPool:
         except (EOFError, OSError):
             return self._DEAD
         if not self._procs[j].is_alive():
+            msg = self._shm_next(j)
+            if msg is not None:
+                return msg
             try:
                 if conn.poll(0):
                     return conn.recv()
@@ -357,7 +426,7 @@ class EnvPool:
                     return "dead"
                 if msg is None:
                     return "pending"
-            if msg[0] == "spec":
+            if self._ctrl(j, msg):
                 continue
             _, agent_id, status, state, reward = msg
             buf.append((c * self.n_agents + agent_id, status, state,
@@ -377,7 +446,7 @@ class EnvPool:
                     return "dead"
                 if msg is None:
                     return "pending"
-            if msg[0] == "spec":
+            if self._ctrl(j, msg):
                 continue
             _, agent_id, status, _, _ = msg
             if status in (INIT, CONT) and agent_id == self.n_agents - 1:
@@ -462,6 +531,10 @@ class EnvPool:
             left = deadline - time.monotonic()
             if left <= 0:
                 return events, ready_lanes
+            if self._shm:
+                # ring traffic does not signal the pipes: short sleep-poll
+                time.sleep(min(left, 2e-4))
+                continue
             alive = [conn for conn in self._conns if conn is not None]
             try:
                 _conn_wait(alive, timeout=left)
@@ -512,6 +585,25 @@ class EnvPool:
         Worker.cpp:371-383)."""
         for c in range(self.n_channels):
             j = self._member_of_channel(c)
+            ch = self._shm.get(j)
+            if ch is not None:
+                # slab hot path: row writes + ONE round publish
+                wrote = False
+                for a in range(self.n_agents):
+                    lane = c * self.n_agents + a
+                    if env_actions[lane] is None:
+                        continue
+                    ch.write_action(a, env_actions[lane])
+                    wrote = True
+                if wrote:
+                    ch.publish_round()
+                    try:    # raw 1-byte wake token: the worker blocks on
+                        # the pipe instead of spinning (few-core hosts);
+                        # os.write skips the Connection framing
+                        os.write(self._conns[j].fileno(), ch.TOKEN)
+                    except (BrokenPipeError, OSError):
+                        pass
+                continue
             if self.dist_agents and self.n_members > 1:
                 conns = self._conns[c * self.n_members:
                                     (c + 1) * self.n_members]
@@ -528,6 +620,8 @@ class EnvPool:
                         pass  # death is detected on the next gather round
 
     def kill(self):
+        for ch in self._shm.values():
+            ch.set_kill()
         for conn in self._conns:
             try:
                 conn.send(KILL_ACTION)
