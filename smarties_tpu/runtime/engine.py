@@ -471,6 +471,12 @@ class Engine:
         # per-lane obs history for acting (frame stacking clamped at the
         # episode start, Episode::standardizedState)
         hist: List[list] = [[] for _ in range(n_lanes)]
+        # cached per-lane stacked-frame row, refreshed only when a state
+        # event arrives — the act-batch build below then stacks cached
+        # rows instead of re-concatenating every lane's frames each
+        # partial round (ADVICE r3 #4: per-poll host work stays
+        # O(events), not O(n_lanes x frames))
+        obs_cat: List = [None] * n_lanes
         untracked = set(pool.spec.get("untracked_agents", ()))
 
         # eval mode (bTrain == 0, --nEvalEpisodes): serve deterministic
@@ -533,6 +539,7 @@ class Engine:
                         # reset the agent context (Agent.h:83-86)
                         lanes[lane].reset()
                         hist[lane] = []
+                        obs_cat[lane] = None
                         b.reset_rnn_lane(lane)
                         continue
                     # per-message NaN guard (Agent::checkNanOrInf,
@@ -551,6 +558,14 @@ class Engine:
                         if len(hist[lane]) > b.mdp.n_appended_obs + 1:
                             hist[lane] = hist[lane][-(b.mdp.n_appended_obs
                                                       + 1):]
+                    k_app = b.mdp.n_appended_obs
+                    if k_app:
+                        h = hist[lane]
+                        obs_cat[lane] = np.concatenate(
+                            [h[max(len(h) - 1 - j, 0)]
+                             for j in range(k_app + 1)])
+                    else:
+                        obs_cat[lane] = obs
                     if (lane % n_agents) in untracked:
                         # acting-only agents: serve actions, store nothing
                         # (trackEpisodes=false, MemoryBuffer.cpp:50-98)
@@ -600,13 +615,10 @@ class Engine:
                     if not b_ready:
                         continue
                     k_app = b.mdp.n_appended_obs
-                    obs_rows = []
-                    for lane in b.lanes:
-                        h = hist[lane] or [np.zeros(len(b.obs_idx))]
-                        frames = [h[max(len(h) - 1 - j, 0)]
-                                  for j in range(k_app + 1)]
-                        obs_rows.append(np.concatenate(frames))
-                    obs = jnp.asarray(np.stack(obs_rows), jnp.float32)
+                    zero_row = np.zeros(len(b.obs_idx) * (k_app + 1))
+                    obs = jnp.asarray(np.stack(
+                        [obs_cat[lane] if obs_cat[lane] is not None
+                         else zero_row for lane in b.lanes]), jnp.float32)
                     obs_std = ((obs.reshape(len(b.lanes), k_app + 1, -1)
                                 - b.rs.state_mean) * b.rs.state_scale
                                ).reshape(len(b.lanes), -1)
