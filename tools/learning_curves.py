@@ -182,6 +182,7 @@ def train_combo(name):
                  n_slots=c.get("n_slots"),
                  max_len=env.MAX_STEPS, run_dir=run_dir,
                  state_dtype=jnp.uint8 if c.get("uint8") else None)
+    print(f"  [{name}] built ({time.strftime('%H:%M:%S')})", flush=True)
     t0 = time.time()
     if getattr(tr.algo, "on_policy", False):
         tr.train(c["budget"], log_every=10 ** 9, max_wall_s=c["wall"])
@@ -191,12 +192,15 @@ def train_combo(name):
                   blind_sweeps=max(16, cfg.minTotObsNum // c["n_envs"]))
         tr.train_fused(c["budget"], log_every=10 ** 9,
                        max_wall_s=c["wall"], flush=False)
+    print(f"  [{name}] dispatched {tr.n_grad_steps} grad steps "
+          f"({time.strftime('%H:%M:%S')}); fencing...", flush=True)
     # transfer-forced fence: wall_s must cover real device execution,
     # not dispatch (block_until_ready does not fence on this backend)
     import numpy as np
     np.asarray(__import__("jax").tree_util.tree_leaves(
         tr.params)[0].ravel()[0])
     tr._wall_s = time.time() - t0
+    print(f"  [{name}] fenced after {tr._wall_s:.1f}s", flush=True)
     return tr
 
 
