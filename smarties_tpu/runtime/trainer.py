@@ -236,6 +236,43 @@ class Trainer:
 
     def _flush_logs(self):
         pending, self._pending_logs = self._pending_logs, []
+        if not pending:
+            return
+        # batch the device->host materialization: each deferred log tuple
+        # is 3+ separate device arrays, and every np.asarray pays the
+        # ~30-60 ms per-transfer sync on this backend — a 6M-step run
+        # defers ~6k tuples (= many minutes if read one by one). Stack
+        # them on-device in chunks and read each stack with ONE transfer.
+        if (len(pending) > 8
+                and all(getattr(x, "is_fully_addressable", True)
+                        for x in pending[0][0])):
+            import jax.numpy as _jnp
+            CH = 256
+
+            def sig(logs):
+                return tuple(getattr(x, "shape", None) for x in logs)
+
+            i = 0
+            while i < len(pending):
+                # batch a run of same-shaped tuples (chunk lengths vary
+                # between warmup/steady phases)
+                j = i + 1
+                s0 = sig(pending[i][0])
+                while (j < len(pending) and j - i < CH
+                       and sig(pending[j][0]) == s0):
+                    j += 1
+                chunk = pending[i:j]
+                if len(chunk) > 4:
+                    stacked = [np.asarray(_jnp.stack(
+                        [c[0][k] for c in chunk]))
+                        for k in range(len(chunk[0][0]))]
+                    for k, (_logs, g, e) in enumerate(chunk):
+                        self._log_episodes([s[k] for s in stacked], g, e)
+                else:
+                    for logs, g, e in chunk:
+                        self._log_episodes(logs, g, e)
+                i = j
+            return
         for logs, g, e in pending:
             self._log_episodes(logs, g, e)
 

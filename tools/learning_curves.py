@@ -85,10 +85,13 @@ COMBOS = {
         over={"clipImpWeight": 4.0, "returnsEstimator": "retrace",
               "minTotObsNum": 65536, "maxTotObsNum": 262144},
         budget=1_500_000, wall=900, n_envs=1024),
+    # ACER's whole-episode window step costs ~100x a 1-step algo's
+    # (~4+ ms/step measured r4): budget sized so the run fits ~20 min
+    # of real device time; solves cart-pole well within it
     "acer_cartpole": dict(
         env="cartpole", recipe="ACER",
         over={"minTotObsNum": 65536, "maxTotObsNum": 131072},
-        budget=1_000_000, wall=900, n_envs=1024),
+        budget=250_000, wall=900, n_envs=1024),
     # NAF's quadratic advantage is a weak fit for bang-bang cart-pole
     # (reference-known); r3 at explNoise 0.4 / 3M steps evaluated 101.
     # r4 retune: milder OU noise so the greedy mean can stabilize, and
