@@ -195,24 +195,32 @@ def train_combo(name):
                  max_len=env.MAX_STEPS, run_dir=run_dir,
                  state_dtype=jnp.uint8 if c.get("uint8") else None)
     print(f"  [{name}] built ({time.strftime('%H:%M:%S')})", flush=True)
+    import numpy as np
+
+    def fence():
+        np.asarray(__import__("jax").tree_util.tree_leaves(
+            tr.params)[0].ravel()[0])
+
     t0 = time.time()
     if getattr(tr.algo, "on_policy", False):
         tr.train(c["budget"], log_every=10 ** 9, max_wall_s=c["wall"])
+        fence()
     else:
         tr.log_flush_threshold = 10 ** 9   # transfer-free steady state
         tr.warmup(chunk=16,
                   blind_sweeps=max(16, cfg.minTotObsNum // c["n_envs"]))
-        tr.train_fused(c["budget"], log_every=10 ** 9,
-                       max_wall_s=c["wall"], flush=False)
-    print(f"  [{name}] dispatched {tr.n_grad_steps} grad steps "
-          f"({time.strftime('%H:%M:%S')}); fencing...", flush=True)
-    # transfer-forced fence: wall_s must cover real device execution,
-    # not dispatch (block_until_ready does not fence on this backend)
-    import numpy as np
-    np.asarray(__import__("jax").tree_util.tree_leaves(
-        tr.params)[0].ravel()[0])
+        # dispatch in fenced slices so the wall cap gates REAL device
+        # time (a pure-dispatch cap never fires: enqueue takes seconds)
+        while (tr.n_grad_steps < c["budget"]
+               and time.time() - t0 < c["wall"]):
+            step = min(c["budget"] - tr.n_grad_steps, 131072)
+            tr.train_fused(step, log_every=10 ** 9, flush=False)
+            fence()
+            print(f"  [{name}] {tr.n_grad_steps}/{c['budget']} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
     tr._wall_s = time.time() - t0
-    print(f"  [{name}] fenced after {tr._wall_s:.1f}s", flush=True)
+    print(f"  [{name}] trained {tr.n_grad_steps} grad steps in "
+          f"{tr._wall_s:.1f}s", flush=True)
     return tr
 
 
