@@ -38,17 +38,35 @@ F32 = jnp.float32
 
 def _soft_expected_value(q_hat, q_tilde):
     """E_{pol(q_hat)}[q_tilde] with pol = Exp-normalized policy over q_hat
-    (expectedValue, DQN.cpp:16-30)."""
+    (expectedValue, DQN.cpp:16-30, DQN_USE_POLICY branch)."""
     _, _, probs = dpol.probs_of(q_hat, fn="exp")
     return jnp.sum(probs * q_tilde, axis=-1)
 
 
+def _greedy_expected_value(q_hat, q_tilde):
+    """Qtilde[argmax Qhat] (expectedValue, DQN.cpp:36 — the reference's
+    non-DQN_USE_POLICY compile branch: classic double-Q greedy boot)."""
+    idx = jnp.argmax(q_hat, axis=-1)
+    return jnp.take_along_axis(q_tilde, idx[..., None], axis=-1)[..., 0]
+
+
 class DQN:
     presample = True   # uniform sampling hoistable out of scan bodies
+
     def __init__(self, mdp: MDPSpec, cfg: HyperParameters):
         assert mdp.is_discrete, "DQN requires discrete actions"
         self.mdp = mdp
         self.cfg = cfg
+        # exploration mode (reference compile switch DQN_USE_POLICY,
+        # DQN.cpp:15): default False == Boltzmann-over-Q + ReF-ER (the
+        # reference's compiled default); True == the paper's eps-greedy
+        # branch (annealed eps = anneal + (1-anneal)*explNoise with
+        # anneal = max(0, 1 - nGradSteps*epsAnneal); acting here uses the
+        # CONSTANT-eps case epsAnneal<=0 -> eps = explNoise, since acting
+        # is jitted without a grad-step input; exploration-bound tasks
+        # like acrobot need this mode - softmax-of-Q sharpens as |Q|
+        # grows and stops exploring)
+        self.eps_greedy = bool(getattr(cfg, "dqnEpsGreedy", False))
         self.n_opts = mdp.max_action_label
         self.spec = NetSpec(
             n_in=mdp.dim_net_input, hidden=tuple(cfg.nnLayerSizes),
@@ -80,6 +98,25 @@ class DQN:
     def make_act_fn(self, train: bool = True):
         spec = self.spec
         sample = train and self.cfg.explNoise > 0
+
+        if self.eps_greedy:
+            eps = float(self.cfg.explNoise)
+            nA = self.n_opts
+
+            def act_eps(params, obs_std, key, rnn=()):
+                qs, rnn = apply_net(params["net"], spec, obs_std, rnn)
+                greedy = jnp.argmax(qs, axis=-1)
+                probs = (jnp.full(qs.shape, eps / nA, F32)
+                         + (1.0 - eps) * jax.nn.one_hot(greedy, nA,
+                                                        dtype=F32))
+                opt = dpol.select(key, probs, sample)
+                q_a = jnp.take_along_axis(qs, opt[..., None],
+                                          axis=-1)[..., 0]
+                value = _greedy_expected_value(qs, qs)
+                return (opt[..., None].astype(F32), probs, value,
+                        q_a - value, rnn)
+
+            return act_eps
 
         def act(params, obs_std, key, rnn=()):
             qs, rnn = apply_net(params["net"], spec, obs_std, rnn)
@@ -135,9 +172,11 @@ class DQN:
                 return vjp_fn(g)[0]
         q_a = jnp.take_along_axis(qs, opt[:, None], axis=-1)[..., 0]
 
+        exp_val = (_greedy_expected_value if self.eps_greedy
+                   else _soft_expected_value)
         if self.use_retrace:
             td_error = mb.qret - q_a
-            v_next = _soft_expected_value(q_hat_next, q_hat_next)
+            v_next = exp_val(q_hat_next, q_hat_next)
         else:
             if not self.use_target:
                 q_tilde_next = q_hat_next
@@ -147,13 +186,38 @@ class DQN:
             else:
                 q_tilde_next = fwd(params["tgt"], mb.s_t1)
             # double-Q: select with online net, evaluate with target
-            boot = _soft_expected_value(q_hat_next, q_tilde_next)
+            boot = exp_val(q_hat_next, q_tilde_next)
             target = mb.reward_next + jnp.where(
                 mb.terminal_next, 0.0, cfg.gamma * boot)
             td_error = target - q_a
-            v_next = _soft_expected_value(q_hat_next, q_hat_next)
+            v_next = exp_val(q_hat_next, q_hat_next)
 
         g = jax.nn.one_hot(opt, self.n_opts, dtype=F32) * td_error[:, None]
+
+        if self.eps_greedy:
+            # the reference's non-policy branch writes rho=1, dkl=0 and
+            # skips ReF-ER mixing (DQN.cpp:204-205)
+            rho = jnp.ones_like(td_error)
+            dkl = jnp.zeros_like(td_error)
+            is_far = jnp.zeros_like(rho, bool)
+            grads = pullback(g)
+            if axis_name is not None:
+                grads = jax.lax.psum(grads, axis_name)
+            new_net, new_opt = adam_step(params["net"], grads, opt_state,
+                                         self.adam_cfg, 1.0 / cfg.batchSize)
+            new_tgt = update_target(new_net, params["tgt"],
+                                    cfg.targetDelay, new_opt.step)
+            new_params = {"net": new_net, "tgt": new_tgt}
+            v_val = _greedy_expected_value(qs, qs)
+            rs = write_back_with_next(rs, mb, rho, dkl, td_error, v_val,
+                                      q_a - v_val, v_next)
+            rs, frac_off = post_step_processing(rs, cfg, new_opt.step,
+                                                td_error, axis_name)
+            metrics = default_metrics(dkl, rho, is_far, frac_off, rs.beta,
+                                      td_error, v_val, axis_name)
+            from smarties_tpu.algos.base import grad_stats
+            metrics.update(grad_stats(grads))
+            return new_params, new_opt, rs, metrics
 
         # ReF-ER on the Boltzmann policy (DQN.cpp:192-204)
         un, norm, probs = dpol.probs_of(qs, fn="exp")

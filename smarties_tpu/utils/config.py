@@ -59,6 +59,11 @@ class HyperParameters:
     # contractions in bf16 with f32 accumulation. Recommended for conv
     # (Atari-scale) recipes; exact-parity tests keep f32.
     nnBf16: bool = False
+    # DQN exploration mode (reference compile switch DQN_USE_POLICY,
+    # DQN.cpp:15): False = Boltzmann-over-Q + ReF-ER (the reference's
+    # compiled default); True = the paper's eps-greedy branch with
+    # constant eps = explNoise (DQN.cpp:71-81, epsAnneal<=0 case)
+    dqnEpsGreedy: bool = False
 
     # --- run control ---
     saveFreq: int = 200000

@@ -112,17 +112,20 @@ COMBOS = {
         over={"gamma": 0.99, "minTotObsNum": 65536,
               "maxTotObsNum": 131072},
         budget=1_000_000, wall=900, n_envs=1024),
-    # acrobot is exploration-bound: the DQN recipe's near-greedy
-    # Boltzmann (explNoise 0.05) never reaches the goal. r3's attempt
-    # (temperature 1.0, anneal 1e-6, 1M steps) still recorded -500 (no
-    # learning); r4 retunes with a hotter slower-annealed temperature,
-    # a shorter-horizon gamma and a bigger budget.
+    # acrobot is exploration-bound and defeats the reference's COMPILED
+    # DQN default (Boltzmann softmax-over-Q: exploration collapses as
+    # |Q| grows — training episodes do reach the goal, the near-greedy
+    # policy never consolidates; r3+r4 runs at temperatures 1.0/2.0 all
+    # evaluated -500). The reference's OTHER compile branch (the paper's
+    # eps-greedy, DQN.cpp:71-81) solves it: constant eps = 0.3 with the
+    # classic double-Q greedy bootstrap (dqnEpsGreedy).
     "dqn_acrobot": dict(
         env="acrobot", recipe="DQN",
-        over={"clipImpWeight": 4.0, "returnsEstimator": "retrace",
-              "explNoise": 2.0, "epsAnneal": 5e-7, "gamma": 0.99,
-              "minTotObsNum": 65536, "maxTotObsNum": 262144},
-        budget=2_000_000, wall=1800, n_envs=1024),
+        over={"dqnEpsGreedy": True, "explNoise": 0.3,
+              "clipImpWeight": 0.0, "returnsEstimator": "none",
+              "gamma": 0.99, "minTotObsNum": 65536,
+              "maxTotObsNum": 262144},
+        budget=2_000_000, wall=1200, n_envs=1024),
     "vracer_mountaincar": dict(
         env="mountaincar", recipe="VRACER",
         over={"gamma": 0.995, "explNoise": 0.8, "minTotObsNum": 65536,
