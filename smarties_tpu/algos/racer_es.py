@@ -125,6 +125,11 @@ class RacerES(VRacer):
         a_ret = mb.qret - v_val
         return rho, a_ret, dkl, a_val, v_val
 
+    # inherits VRacer.presample, but this step's key chain differs
+    # (split(key) -> (k_samp, k_res)) and population forwards dominate
+    # its cost anyway: keep in-body sampling
+    presample = False
+
     def train_step(self, params, opt_state: ESOptState, rs: rb.ReplayState,
                    key, axis_name=None):
         cfg = self.cfg
