@@ -150,7 +150,7 @@ COMBOS = {
     "racer_rnn_cartpole": dict(
         env="cartpole.pomdp", recipe="RACER_RNN",
         over={"minTotObsNum": 65536, "maxTotObsNum": 262144},
-        budget=1_500_000, wall=2400, n_envs=1024),
+        budget=800_000, wall=1200, n_envs=1024),
     # ---- r4: RACER with Gaussian advantage (the full-RACER
     # instantiation, VERDICT r3 #7) ----
     "racer_pendulum": dict(
