@@ -364,7 +364,8 @@ def build_atari():
                                   (E, L + 1, mdp.dim_state_observed),
                                   0, 256, jnp.uint8),
         rho=jnp.ones((E, L + 1)))
-    Q = 100
+    # Q amortizes the ~28 ms fixed dispatch+transfer cost (<0.1 ms/step)
+    Q = 400
 
     def chunk(p, o, r, k):
         from smarties_tpu.algos.base import presample_uniform
