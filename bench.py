@@ -29,11 +29,11 @@ A partial JSON is flushed to BENCH_partial.json after every phase so
 even a SIGKILL leaves a usable capture; SIGTERM prints the partial
 capture to stdout.
 
-Honest single-chip numbers (packed replay layout, r4): the backend
-executes each small XLA kernel in ~25 us (measured floor) and gathers/
-scatters add ~14 us each, so the per-step cost tracks kernel count, not
-FLOPs; the r4 packing collapsed the per-step scatter/gather set from
-~10 gathers + 6 scatters to 4 gathers + 3 scatters.
+Honest single-chip numbers (packed replay layout, r4): per-step cost
+tracks indexed-op count and in-body RNG, not FLOPs (cost model in
+docs/RESULTS.md + tools/profile_layout.py); the r4 packing + RNG hoist
+collapsed the train step from ~8 gathers + 6 scatters + in-body
+sampling to 2 gathers + 1 fused full-row scatter + 1 far-count add.
 
 Phases:
   fused     headline combined env+grad steps/s: ONE dispatch of K fused
