@@ -437,18 +437,20 @@ def main():
         return BUDGET_S - (time.time() - t_start)
 
     extras = {"n_envs": 1024, "batch_size": 256, "packed_replay": True,
-              "timing": "transfer-forced (block_until_ready does not "
-                        "fence on this backend; see bench.py docstring)",
-              "capture": "dispatch-all-then-read (heavy compute overlaps "
-                         "the cross-process canary stall)"}
+              "timing": "transfer-forced (see bench.py docstring)",
+              "capture": "dispatch-all-then-read"}
     errors, skipped = [], []
     etts = []
     value = 0.0
 
     def flush_partial(stage):
-        """Crash-proof incremental capture (atomic rename)."""
+        """Crash-proof incremental capture (atomic rename). This file is
+        ALSO the home of all bulky detail (per-seed quality curves): the
+        printed line must stay under the driver's 2000-char tail window
+        (r4's line embedded the curves and broke the driver parse)."""
         try:
             doc = {"stage": stage, "value": value, "extras": extras,
+                   "quality_detail": etts,
                    "errors": errors, "skipped_for_budget": skipped,
                    "wall_s": round(time.time() - t_start, 1)}
             tmp = PARTIAL_PATH + ".tmp"
@@ -555,7 +557,12 @@ def main():
         extras["episodes_to_threshold"] = vals
         extras["episodes_to_threshold_median"] = (
             ok[len(ok) // 2] if ok else None)
-        extras["quality_detail"] = etts
+        # compact per-seed proof scalars only; full curves live in
+        # BENCH_partial.json (quality_detail) — NOT in the printed line
+        extras["eval_mean_deterministic"] = [
+            q.get("eval_mean_deterministic") for q in etts]
+        extras["final_trail_mean"] = [
+            q.get("final_trail_mean") for q in etts]
 
     extras["wall_s"] = round(time.time() - t_start, 1)
     if errors:
@@ -570,7 +577,29 @@ def main():
         "extras": extras,
     }
     flush_partial("done")
-    print(json.dumps(doc))
+    # HARD GUARD (VERDICT r4 #1): the driver reads only the last ~2000
+    # chars of stdout; a longer line truncates the {"metric": ... header
+    # away and the official artifact records parsed:null (happened in
+    # r4). Shed optional extras until the line fits with margin; the
+    # full detail always survives in BENCH_partial.json.
+    LINE_BUDGET = 1800
+    shed_order = ["quality_detail", "curve_every_cycle", "capture",
+                  "timing", "final_trail_mean", "device", "errors",
+                  "dispatch_drain_s", "transfer_canary_s"]
+    line = json.dumps(doc)
+    for key in shed_order:
+        if len(line) <= LINE_BUDGET:
+            break
+        if key in extras:
+            del extras[key]
+            line = json.dumps(doc)
+    if len(line) > LINE_BUDGET:   # last resort: keep the core scalars
+        doc["extras"] = {k: extras[k] for k in
+                         ("fused_cycle_ms", "episodes_to_threshold",
+                          "eval_mean_deterministic", "atari_mfu_vs_bf16_peak",
+                          "wall_s") if k in extras}
+        line = json.dumps(doc)
+    print(line)
 
 
 if __name__ == "__main__":
