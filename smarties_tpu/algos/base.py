@@ -148,7 +148,9 @@ def gather_minibatch(rs: rb.ReplayState, ep, t,
                      per_w: Optional[jnp.ndarray] = None,
                      n_appended: int = 0) -> MiniBatch:
     t1 = jnp.minimum(t + 1, rs.max_len)
-    # TWO gathers total (per-op cost ~20 us on this backend):
+    # ONE fused gather total when the replay packs states into the
+    # record (small-dim f32 envs, buffer._ch layout notes); otherwise
+    # TWO (per-op cost ~20 us on this backend):
     #  1. states at t and t+1 fused into one gather
     #  2. the packed per-step record at t and t+1 fused into one gather
     #     (action/mu/qret/rho/value at t; reward at t+1; the slot-meta
@@ -167,12 +169,22 @@ def gather_minibatch(rs: rb.ReplayState, ep, t,
                   - rs.state_mean) * rs.state_scale
         s_t = frames[:, 1:].reshape(B, -1)
         s_t1 = frames[:, :-1].reshape(B, -1)
+        rows = rs.steps[jnp.concatenate([ep, ep]),
+                        jnp.concatenate([t, t1])]      # [2B, R]
+    elif rs.dim_state_packed:
+        # the raw state row rides inside the record: ONE gather
+        rows = rs.steps[jnp.concatenate([ep, ep]),
+                        jnp.concatenate([t, t1])]      # [2B, R]
+        st0 = rs._c[3] + 5
+        s_cat = (rows[:, st0:st0 + rs.dim_state_packed]
+                 - rs.state_mean) * rs.state_scale
+        s_t, s_t1 = s_cat[:B], s_cat[B:]
     else:
         s_cat = stacked_states(rs, jnp.concatenate([ep, ep]),
                                jnp.concatenate([t, t1]), 0)
         s_t, s_t1 = s_cat[:B], s_cat[B:]
-    rows = rs.steps[jnp.concatenate([ep, ep]),
-                    jnp.concatenate([t, t1])]          # [2B, R]
+        rows = rs.steps[jnp.concatenate([ep, ep]),
+                        jnp.concatenate([t, t1])]      # [2B, R]
     row_t, row_t1 = rows[:B], rows[B:]
     ch_act, ch_mu, ch_qret, wb0, R = rs._c
     length = row_t[:, R - 3].astype(jnp.int32)

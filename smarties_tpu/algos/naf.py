@@ -47,15 +47,31 @@ class NAF:
         self.mdp = mdp
         self.cfg = cfg
         nA = mdp.dim_action
-        self.nL = adv_ops.quadratic_n_outputs(nA)
+        # nafAdvGaussian re-expresses the reference's NAF_ADV_GAUS
+        # compile switch (NAF.cpp:15-21: Param_advantage =
+        # Gaussian_advantage). NOTE the reference branch is bit-rotted —
+        # it cannot compile (prepare_advantage, NAF.cpp:26-30, passes 3
+        # args; Gaus_advantage.h:43-48 has only a 4-arg ctor needing the
+        # policy) — so this is the faithful-intent completion: the
+        # asymmetric-Gaussian bump advantage centered on the policy
+        # mean, with the mean trained through the bump center (the
+        # quadratic variant trains its mean the same way: the mean IS an
+        # advantage parameter).
+        self.gaussian = bool(getattr(cfg, "nafAdvGaussian", False))
+        self.nL = (adv_ops.gaussian_n_outputs(nA) if self.gaussian
+                   else adv_ops.quadratic_n_outputs(nA))
         # outputs: [V(1), L(nL), mean(nA)] + param stdev(nA) (NAF.cpp:39-44)
         self.v_idx, self.l_start, self.m_start = 0, 1, 1 + self.nL
         sig0 = float(cp.initial_sigma_raw(cfg.explNoise))
+        # Gaus_advantage.h:30-36 setInitial biases the coef head to -1
+        # and the width heads to +1
+        ob = (tuple([0.0] + adv_ops.gaussian_initial_bias(nA)
+                    + [0.0] * nA) if self.gaussian else ())
         self.spec = NetSpec(
             n_in=mdp.dim_net_input, hidden=tuple(cfg.nnLayerSizes),
                 conv=tuple(Conv2DDesc(*c) for c in mdp.conv_layers),
             n_out=1 + self.nL + nA, kind=cfg.nnType, act=cfg.nnFunc,
-            out_prefac=cfg.outWeightsPrefac,
+            out_prefac=cfg.outWeightsPrefac, out_bias_init=ob,
             n_param_out=nA, param_init=tuple([sig0] * nA))
         self.bounded = np.asarray(mdp.bounded_mask)
         self.adam_cfg = AdamConfig(eta=cfg.learnrate, lambda_=cfg.nnLambda,
@@ -92,9 +108,35 @@ class NAF:
         b = jnp.asarray(self.bounded)
         return jnp.where(b, _hard_sigmoid(mean_raw), mean_raw)
 
-    def _advantage(self, l_out, mean_raw, action):
+    def _advantage(self, l_out, mean_raw, action, sigma=None):
+        if self.gaussian:
+            return self._gauss_adv(l_out, mean_raw, action, sigma)
         return adv_ops.quadratic_advantage(
             l_out, self._adv_mean(mean_raw), action, self.mdp.dim_action)
+
+    def _gauss_adv(self, adv_out, mean_raw, action, sigma):
+        """Asymmetric-Gaussian advantage (Gaus_advantage.h:75-88)
+        centered on the policy mean. Unlike ops.advantages
+        .gaussian_advantage (RACER: policy factors stop-gradient'd,
+        trained by the policy gradient), NAF trains the mean THROUGH the
+        bump center — it is Q-learning with no policy gradient, exactly
+        as the quadratic variant trains its own mean. The mix-ratio
+        variance stays stop-gradient'd (the stdev head is trained only
+        by fixExplorationGrad, NAF.cpp:160-161)."""
+        from smarties_tpu.ops.softplus import softplus
+        nA = self.mdp.dim_action
+        m = cp.eff_mean(mean_raw, self.bounded)
+        v = jax.lax.stop_gradient(sigma * sigma)
+        coef = softplus(adv_out[..., 0])
+        p_hi = softplus(adv_out[..., 1:1 + nA])
+        p_lo = softplus(adv_out[..., 1 + nA:1 + 2 * nA])
+        d = action - m
+        p_side = jnp.where(d > 0, p_hi, p_lo)
+        shape = -0.5 * jnp.sum(d * d / p_side, axis=-1)
+        mix = (jnp.sqrt(p_hi / (p_hi + v))
+               + jnp.sqrt(p_lo / (p_lo + v))) / 2
+        ratio = jnp.prod(mix, axis=-1)
+        return coef * (jnp.exp(shape) - ratio)
 
     # ------------------------------------------------------------------
     def make_act_fn(self, train: bool = True):
@@ -118,7 +160,7 @@ class NAF:
             else:
                 a = cp.eff_mean(mean, bounded)
             mu = cp.mu_vector(mean, sigma, bounded)
-            a_val = self._advantage(l_out, mean, a)
+            a_val = self._advantage(l_out, mean, a, sigma)
             return a, mu, v, a_val, (ou,) + carry
 
         return act
@@ -163,7 +205,7 @@ class NAF:
         sigma = cp.sigma_of(sraw)
         rho = cp.imp_weight(mb.action, mean, sigma, mb.mu, self.bounded)
         dkl = cp.kl_div(mb.mu, mean, sigma)
-        a_val = self._advantage(l_out, mean, mb.action)
+        a_val = self._advantage(l_out, mean, mb.action, sigma)
         q_val = v + a_val
         is_far = rb.is_far_policy(rho, rs.cmax_ret, rs.cinv_ret)
 
@@ -183,9 +225,9 @@ class NAF:
         # output gradient: value + advantage (autodiff) + ReF-ER mean mix +
         # stdev pulled to explNoise (NAF.cpp:148-161)
         g_adv = jax.vmap(jax.grad(
-            lambda lo, m, a: self._advantage(lo[None], m[None],
-                                             a[None])[0],
-            argnums=(0, 1)))(l_out, mean, mb.action)
+            lambda lo, m, s, a: self._advantage(lo[None], m[None],
+                                                a[None], s[None])[0],
+            argnums=(0, 1)))(l_out, mean, sigma, mb.action)
         g_l = error[:, None] * g_adv[0]
         g_m = error[:, None] * g_adv[1]
         if cfg.clipImpWeight > 0:

@@ -67,6 +67,10 @@ class PPO:
         self.n_horizon = cfg.maxTotObsNum
         self.n_epochs = max(1, int(cfg.batchSize / cfg.obsPerStep))
         self.cmax_pol = cfg.clipImpWeight
+        # standard PPO-clip mode (cfg.ppoStandard): clip gates on the
+        # ADVANTAGE sign + per-batch advantage normalization; default
+        # keeps the reference-faithful return-sign gating
+        self.standard = bool(getattr(cfg, "ppoStandard", False))
         self.recurrent = cfg.nnType in ("LSTM", "GRU", "RNN")
         enc_sizes = tuple(s for s in cfg.encoderLayerSizes if s > 0)
         if self.recurrent and not enc_sizes:
@@ -213,13 +217,31 @@ class PPO:
                 dkl = cp.kl_div(mb.mu, mean, sigma)
 
             adv = mb.qret - value_old
-            # gain = rho * adv with the reference's clip-on-RETURN gating
-            # (PPO_train.cpp:41-46); the gradient is gain * dlogpi
-            # (policyGradient(act, gain)), so: surr = stopgrad(gain) * logp
-            gain = jnp.where(
-                (mb.qret > 0) & (rho > 1 + self.cmax_pol), 0.0,
-                jnp.where((mb.qret < 0) & (rho < 1 - self.cmax_pol),
-                          0.0, rho * adv))
+            if self.standard:
+                # standard PPO-clip (ppoStandard): the gradient of
+                # min(rho*A, clip(rho, 1-eps, 1+eps)*A) is A*rho*dlogpi
+                # zeroed when (A>0 and rho>1+eps) or (A<0 and rho<1-eps);
+                # advantages are normalized per batch (mask-aware so
+                # empty-shard rows don't skew the moments)
+                w = mb.valid.astype(F32)
+                n = jnp.maximum(jnp.sum(w), 1.0)
+                a_mu = jnp.sum(adv * w) / n
+                a_sd = jnp.sqrt(jnp.maximum(
+                    jnp.sum(w * (adv - a_mu) ** 2) / n, 1e-8))
+                adv_n = (adv - a_mu) / a_sd
+                gain = jnp.where(
+                    (adv_n > 0) & (rho > 1 + self.cmax_pol), 0.0,
+                    jnp.where((adv_n < 0) & (rho < 1 - self.cmax_pol),
+                              0.0, rho * adv_n))
+            else:
+                # gain = rho * adv with the reference's clip-on-RETURN
+                # gating (PPO_train.cpp:41-46); the gradient is
+                # gain * dlogpi (policyGradient(act, gain)), so:
+                # surr = stopgrad(gain) * logp
+                gain = jnp.where(
+                    (mb.qret > 0) & (rho > 1 + self.cmax_pol), 0.0,
+                    jnp.where((mb.qret < 0) & (rho < 1 - self.cmax_pol),
+                              0.0, rho * adv))
             surr = jax.lax.stop_gradient(gain) * logp
             verr = mb.qret - v
             # NOTE: reference gates the critic to far-policy samples only

@@ -46,7 +46,7 @@ def replay_pspec(rs) -> "ReplayStatePSpec":
     kw = {f.name: (P(AXIS) if f.name in sharded else P())
           for f in _dc.fields(rs) if not f.metadata.get("static")}
     return type(rs)(dim_action=rs.dim_action, dim_policy=rs.dim_policy,
-                    **kw)
+                    dim_state_packed=rs.dim_state_packed, **kw)
 
 
 def carry_pspec(carry) -> Tuple:

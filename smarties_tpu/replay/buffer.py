@@ -66,23 +66,33 @@ _COMPAT_CHANNELS = {"rewards", "actions", "mus", "qret", "rho", "kl",
                     "terminal"}
 
 
-def _ch(dim_action: int, dim_policy: int):
+def _ch(dim_action: int, dim_policy: int, dim_state_packed: int = 0):
     """(CH_ACT, CH_MU, CH_QRET, WB0, R): channel offsets for the packed
     per-step record. WB0 is the start of the write-back slice
     [rho, kl, delta, value, advantage] (the 5 fields of
     MiniBatch::setMseDklImpw + setValues, MiniBatch.h:161-188). The
     record additionally MIRRORS the slot_meta integers as three trailing
-    f32 channels [length, ep_id, terminal] at WB0+5 (exact for len <=
+    f32 channels [length, ep_id, terminal] at R-3 (exact for len <=
     2^24 and ids < 2^24), replicated along the time axis — so the
     minibatch gather needs no separate slot_meta gather (~20 us/step on
     this backend). slot_meta [E, 3] stays authoritative for full-array
     ops; the mirror is refreshed wherever slot_meta changes
-    (commit scatter rows / prune / clear / rebalance)."""
+    (commit scatter rows / prune / clear / rebalance).
+
+    dim_state_packed > 0 (round-5, small-dim f32 envs): the RAW state
+    row additionally rides in the record at [WB0+5, R-3), so the
+    minibatch needs ONE fused gather total instead of two (the second
+    ~20 us/step gather of the r4 layout). States only ever change at
+    episode commit (prune/clear touch meta only; write-backs re-emit the
+    gathered channels bit-identically), so the mirror is synced exactly
+    where commit_episodes_packed scatters. `states` [E, L+1, dimS]
+    remains authoritative for full-array sweeps (stats, BPTT windows,
+    checkpoints). uint8 image replays keep dim_state_packed == 0."""
     ch_act = 1
     ch_mu = ch_act + dim_action
     ch_qret = ch_mu + dim_policy
     wb0 = ch_qret + 1
-    r = wb0 + 5 + 3
+    r = wb0 + 5 + dim_state_packed + 3
     return ch_act, ch_mu, ch_qret, wb0, r
 
 
@@ -135,6 +145,9 @@ class ReplayState:
     # static metadata needed to slice the packed record
     dim_action: int = field(default=0, metadata=dict(static=True))
     dim_policy: int = field(default=0, metadata=dict(static=True))
+    # > 0: raw f32 states mirrored into the record at [WB0+5, R-3) so
+    # the minibatch costs ONE gather (see _ch docstring)
+    dim_state_packed: int = field(default=0, metadata=dict(static=True))
 
     # ---------------- NamedTuple-compat surface ----------------
     def _replace(self, **kw) -> "ReplayState":
@@ -175,7 +188,8 @@ class ReplayState:
     # ---------------- packed-channel views ----------------
     @property
     def _c(self):
-        return _ch(self.dim_action, self.dim_policy)
+        return _ch(self.dim_action, self.dim_policy,
+                   self.dim_state_packed)
 
     @property
     def rewards(self):
@@ -263,7 +277,7 @@ jax.tree_util.register_dataclass(
     ReplayState,
     data_fields=[f.name for f in dataclasses.fields(ReplayState)
                  if not f.metadata.get("static")],
-    meta_fields=["dim_action", "dim_policy"])
+    meta_fields=["dim_action", "dim_policy", "dim_state_packed"])
 
 
 def pack_step_record(rewards, actions, mus, qret, rho, kl, delta, value,
@@ -292,7 +306,8 @@ def safe_mu(mdp) -> np.ndarray:
 
 def init_replay(n_slots: int, max_len: int, dim_state: int, dim_action: int,
                 dim_policy: int, clip_imp_weight: float = 4.0,
-                state_dtype=jnp.float32, mu_init=None) -> ReplayState:
+                state_dtype=jnp.float32, mu_init=None,
+                pack_states: bool = False) -> ReplayState:
     """Initial scalars follow MemoryBuffer.h:41-44: beta starts at 1e-4
     (near-full KL-penalty mode) when ReF-ER clipping is active, CmaxRet at
     1 + C, CinvRet at 1/C.
@@ -304,10 +319,18 @@ def init_replay(n_slots: int, max_len: int, dim_state: int, dim_action: int,
 
     mu_init: [dim_policy] fill value for behavior policies of empty slots
     (see safe_mu) — keeps policy math finite if an empty slot is sampled.
+
+    pack_states: mirror the raw state rows into the packed record so the
+    minibatch needs ONE gather (f32 states only; see _ch docstring).
     """
     E, L1 = n_slots, max_len + 1
     C = clip_imp_weight
-    _, ch_mu, ch_qret, _, R = _ch(dim_action, dim_policy)
+    if pack_states:
+        assert state_dtype == jnp.float32, \
+            "pack_states requires f32 states (uint8 image replays keep " \
+            "the separate state array)"
+    dsp = dim_state if pack_states else 0
+    _, ch_mu, ch_qret, _, R = _ch(dim_action, dim_policy, dsp)
     steps = jnp.zeros((E, L1, R), F32)
     if mu_init is not None:
         steps = steps.at[:, :, ch_mu:ch_qret].set(
@@ -334,6 +357,7 @@ def init_replay(n_slots: int, max_len: int, dim_state: int, dim_action: int,
         qret_stale=jnp.zeros((E,), bool),
         samp_cl=jnp.zeros((E, 2), I32),
         dim_action=dim_action, dim_policy=dim_policy,
+        dim_state_packed=dsp,
     )
 
 
@@ -445,15 +469,23 @@ def commit_episodes_packed(rs: ReplayState, ep_states, ep_steps, ep_length,
 
     ep_meta = jnp.stack([ep_length.astype(I32), new_ids.astype(I32),
                          ep_terminal.astype(I32)], axis=1)
-    # rows carry the meta mirror in their trailing 3 channels: append
-    # (per-field callers pack R-3 wide) or overwrite (full-R payloads)
+    # rows carry the state mirror (when packed) + the meta mirror in
+    # their trailing channels: append both (per-field callers pack
+    # R-3-S wide records) or overwrite the meta only (full-R payloads,
+    # e.g. rebalance shipments, already carry their state channels)
     L1 = rs.steps.shape[1]
     R = rs.steps.shape[2]
+    S = rs.dim_state_packed
     mrr = jnp.broadcast_to(ep_meta.astype(F32)[:, None, :], (V, L1, 3))
-    if ep_steps.shape[-1] == R - 3:
-        ep_steps = jnp.concatenate([ep_steps, mrr], axis=-1)
-    else:
+    if ep_steps.shape[-1] == R - 3 - S:
+        tail = ([ep_states.astype(F32), mrr] if S else [mrr])
+        ep_steps = jnp.concatenate([ep_steps] + tail, axis=-1)
+    elif ep_steps.shape[-1] == R:
         ep_steps = ep_steps.at[:, :, R - 3:].set(mrr)
+    else:
+        raise ValueError(
+            f"ep_steps width {ep_steps.shape[-1]} matches neither the "
+            f"per-field record width {R - 3 - S} nor the full width {R}")
     rs = rs._replace(
         states=put(rs.states, ep_states),
         steps=put(rs.steps, ep_steps),

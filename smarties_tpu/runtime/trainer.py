@@ -82,10 +82,21 @@ class Trainer:
 
         import jax.numpy as _jnp
         sdt = state_dtype or _jnp.float32
+        # small-dim f32 envs CAN mirror states into the packed record
+        # (ONE minibatch gather; buffer._ch layout notes) — currently
+        # opt-in via SMT_PACK_STATES=1: measured on the axon TPU the
+        # one-gather train step is ~12 us/step SLOWER at the wider
+        # record width (R 13->18, tools/profile_pack_ab.py), so the r4
+        # two-gather layout stays the default until the width effect is
+        # beaten. Exact-parity guarded either way
+        # (tests/test_state_packing.py; on-chip quality bit-reproduces).
+        pack = (sdt == _jnp.float32 and mdp.n_appended_obs == 0
+                and mdp.dim_state_observed <= 64
+                and bool(os.environ.get("SMT_PACK_STATES")))
         self.rs = rb.init_replay(
             n_slots, max_len, mdp.dim_state_observed, mdp.dim_action,
             mdp.dim_policy, cfg.clipImpWeight, state_dtype=sdt,
-            mu_init=rb.safe_mu(mdp))
+            mu_init=rb.safe_mu(mdp), pack_states=pack)
         ip = init_inprogress(n_envs, max_len, mdp.dim_state_observed,
                              mdp.dim_action, mdp.dim_policy,
                              state_dtype=sdt)
@@ -116,14 +127,21 @@ class Trainer:
         # (algos/base.py presample_uniform); PER samplers depend on the
         # in-step TD errors and keep the in-body path
         self._can_presample = (
-            getattr(self.algo, "presample", False)
+            (getattr(self.algo, "presample", False)
+             or hasattr(self.algo, "presample_fn"))
             and cfg.dataSamplingAlgo in ("uniform", "default"))
 
         def _train_scan(params, opt_state, rs, keys):
             from smarties_tpu.algos.base import presample_uniform
             if self._can_presample:
-                eps, ts = presample_uniform(keys, rs,
-                                            self.cfg.batchSize)
+                # algo-specific hoisted sampler (e.g. ACER's episode +
+                # window-start draw) or the shared uniform one
+                pre = getattr(self.algo, "presample_fn", None)
+                if pre is not None:
+                    eps, ts = pre(keys, rs, self.cfg.batchSize)
+                else:
+                    eps, ts = presample_uniform(keys, rs,
+                                                self.cfg.batchSize)
 
                 def body(c, x):
                     p, o, r = c
@@ -214,6 +232,10 @@ class Trainer:
     @property
     def replay(self) -> rb.ReplayState:
         return self.carry.replay
+
+    @property
+    def algo_is_recurrent(self) -> bool:
+        return self.cfg.nnType in ("LSTM", "GRU", "RNN")
 
     def _roll(self, n_steps: int):
         with self.profiler("ROLL"):
@@ -392,7 +414,9 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train_fused(self, n_grad_steps: int, log_every: int = 1000,
-                    max_wall_s: float = float("inf"), flush: bool = True):
+                    max_wall_s: float = float("inf"), flush: bool = True,
+                    fence_every: Optional[int] = None,
+                    max_retries: int = 2):
         """Steady-state training with the fused cycle program: each cycle
         rolls 1 env sweep (n_envs observations) and runs the matching
         n_envs/obsPerStep grad steps, keeping the obsPerStep invariant
@@ -400,7 +424,23 @@ class Trainer:
 
         The 1000-step refresh runs between cycles at the nearest boundary
         (cadence n_train-per-cycle instead of exactly 1000). Off-policy,
-        single-mesh only; falls back to train() otherwise."""
+        single-mesh only; falls back to train() otherwise.
+
+        RELIABILITY (r5, VERDICT r4 #6). A long queue of dispatched
+        cycles can crash the remote TPU worker ("UNAVAILABLE: TPU worker
+        crashed", observed once mid-run on an LSTM cycle at ~786k/1.5M
+        steps; tools/probe_packed_crash.py). Two guards:
+        - fence_every: force one scalar transfer every N grad steps,
+          bounding the outstanding dispatched work (the transfer drains
+          the queue; execution itself is unaffected). Defaults to 16384
+          for recurrent nets (their cycle programs are ~40x costlier)
+          and unbounded otherwise.
+        - max_retries: on a crash the device state is gone; the loop
+          keeps a HOST snapshot of (params, opt, carry) from the last
+          fence, waits out the worker restart (~3 min, doubling), pushes
+          the snapshot back and resumes from the snapshot's step ledger.
+          Steps dispatched after the snapshot are re-run (exactly-once
+          accounting via the ledger rollback)."""
         if self.on_policy or self.mesh is not None:
             return self.train(n_grad_steps, log_every, max_wall_s)
         if not self._initialized:
@@ -408,14 +448,53 @@ class Trainer:
         n_train = max(1, int(round(self.n_envs / self.cfg.obsPerStep)))
         target = self.n_grad_steps + n_grad_steps
         t0 = time.time()
+        if fence_every is None and self.algo_is_recurrent:
+            fence_every = 16384
         # NOTE: any warmup overshoot persists as a constant bounded offset
         # in the pacing ledger (cycles are exactly balanced); the reference
         # has the same transient from in-flight episodes at startup.
         flush_at = getattr(self, "log_flush_threshold", 32)
+
+        def snapshot():
+            host = jax.device_get((self.params, self.opt_state,
+                                   self.carry))
+            return (host, self.n_grad_steps, self.n_env_steps,
+                    self._last_refresh, len(self._pending_logs))
+
+        snap = snapshot() if fence_every else None
+        last_fence = self.n_grad_steps
+        retries = 0
         while self.n_grad_steps < target and time.time() - t0 < max_wall_s:
-            (self.params, self.opt_state, self.carry, metrics,
-             logs) = self._fused_cycle(self.params, self.opt_state,
-                                       self.carry, 1, n_train)
+            try:
+                (self.params, self.opt_state, self.carry, metrics,
+                 logs) = self._fused_cycle(self.params, self.opt_state,
+                                           self.carry, 1, n_train)
+                if (fence_every
+                        and self.n_grad_steps - last_fence >= fence_every):
+                    # drains the dispatch queue AND refreshes the
+                    # crash-recovery snapshot (one transfer)
+                    snap = snapshot()
+                    last_fence = self.n_grad_steps
+            except Exception as e:  # noqa: BLE001 — backend loss
+                msg = repr(e)
+                recoverable = ("UNAVAILABLE" in msg or "crashed" in msg
+                               or "restarted" in msg)
+                if snap is None or not recoverable \
+                        or retries >= max_retries:
+                    raise
+                retries += 1
+                wait = 180.0 * (2 ** (retries - 1))
+                print(f"train_fused: TPU worker lost ({msg[:120]}); "
+                      f"retry {retries}/{max_retries} after {wait:.0f}s "
+                      f"from step {snap[1]}", flush=True)
+                time.sleep(wait)
+                host, self.n_grad_steps, self.n_env_steps, \
+                    self._last_refresh, n_logs = snap
+                del self._pending_logs[n_logs:]   # dropped with device
+                (self.params, self.opt_state,
+                 self.carry) = jax.device_put(host)
+                last_fence = self.n_grad_steps
+                continue
             self.n_env_steps += self.n_envs
             self.n_grad_steps += n_train
             self._pending_logs.append((logs, self.n_grad_steps,

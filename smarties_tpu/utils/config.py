@@ -64,6 +64,20 @@ class HyperParameters:
     # compiled default); True = the paper's eps-greedy branch with
     # constant eps = explNoise (DQN.cpp:71-81, epsAnneal<=0 case)
     dqnEpsGreedy: bool = False
+    # NAF advantage parameterization (reference compile switch
+    # NAF_ADV_GAUS, NAF.cpp:15-21): True swaps the quadratic advantage
+    # for the asymmetric-Gaussian bump (the reference branch is
+    # non-compiling bit-rot; algos/naf.py documents the completion)
+    nafAdvGaussian: bool = False
+    # PPO surrogate mode. False (default) keeps the reference-faithful
+    # quirks: the clip test gates on the sign of the RETURN estimate
+    # (PPO_train.cpp:41-46) and advantages are used raw. True switches
+    # to the standard PPO-clip rule — gate on the sign of the ADVANTAGE
+    # (Schulman et al. 2017's min(rho*A, clip(rho)*A) gradient) — and
+    # normalizes advantages per batch (documented deviation; the
+    # reference recipe never demonstrates learning with the faithful
+    # surrogate here either, docs/RESULTS.md)
+    ppoStandard: bool = False
 
     # --- run control ---
     saveFreq: int = 200000

@@ -101,6 +101,33 @@ COMBOS = {
         over={"explNoise": 0.2, "minTotObsNum": 65536,
               "maxTotObsNum": 262144},
         budget=6_000_000, wall=1800, n_envs=1024),
+    # ---- r5: NAF Gaussian-advantage cross-check (VERDICT r4 #9): if
+    # the bump advantage clears the quadratic variant's ~217 cap on
+    # bang-bang cart-pole, the unimodal-advantage explanation holds ----
+    "naf_gauss_cartpole": dict(
+        env="cartpole", recipe="NAF",
+        over={"nafAdvGaussian": True, "explNoise": 0.2,
+              "minTotObsNum": 65536, "maxTotObsNum": 262144},
+        budget=6_000_000, wall=1800, n_envs=1024),
+    # ---- r5: standard-PPO mode records (VERDICT r4 #5): symmetric
+    # advantage-sign clip + batch advantage normalization (ppoStandard;
+    # the reference-faithful surrogate stays the default and its honest
+    # non-learning records above stay committed) ----
+    "ppo_std_cartpole": dict(
+        env="cartpole", recipe="PPO",
+        over={"minTotObsNum": 2048, "ppoStandard": True},
+        budget=60_000, wall=1800, n_envs=64),
+    "ppo_std_pendulum": dict(
+        env="pendulum", recipe="PPO",
+        over={"gamma": 0.99, "minTotObsNum": 2048,
+              "ppoStandard": True},
+        budget=240_000, wall=1800, n_envs=64),
+    # ---- r5: second ACER record (VERDICT r4 #7) ----
+    "acer_pendulum": dict(
+        env="pendulum", recipe="ACER",
+        over={"gamma": 0.99, "minTotObsNum": 65536,
+              "maxTotObsNum": 131072},
+        budget=250_000, wall=1200, n_envs=1024),
     "mixedpg_pendulum": dict(
         env="pendulum", recipe="VRACER",
         over={"learner": "MixedPG", "gamma": 0.99,
