@@ -242,13 +242,18 @@ def write_back(rs: rb.ReplayState, mb: MiniBatch, rho, dkl, delta,
 def write_back_with_next(rs: rb.ReplayState, mb: MiniBatch, rho, dkl,
                          delta, value, advantage,
                          v_next) -> rb.ReplayState:
-    """write_back + write_next_value fused into ONE [2B, R] full-row
-    scatter (plus the far-count add): the t-rows carry the new
-    [rho..advantage] channels, the t+1-rows (kept only for truncated
-    samples, mode='drop' otherwise) refresh V(s_T). Positions cannot
-    alias across the two halves — sampled t is always < T while the
-    next-value rows sit at exactly T — so one scatter preserves the
-    sequential two-scatter semantics."""
+    """write_back + write_next_value: ONE [B, R] full-row scatter for
+    the sampled t rows, plus the far-count add and a scalar V(s_T)
+    scatter into the v_trunc side-channel (kept only for truncated
+    samples, mode='drop' otherwise). r5 layout note: the row scatter is
+    the costliest op of the train step and scales with row count
+    (tools/profile_width.py), so the r4 [2B, R] fused form — whose
+    second half carried a single useful scalar — is replaced by the
+    [E]-scalar side-channel; `ReplayState.value` substitutes it at
+    t == length, so all full-array consumers see identical numbers.
+    Reference semantics: MiniBatch::setMseDklImpw + setValues
+    (MiniBatch.h:161-188) + MB.setValues(bID, t+1, vNext)
+    (RACER_train.cpp:23-27)."""
     t = mb.t
     ep = jnp.where(mb.valid, mb.ep, rs.n_slots) if mb.valid is not None \
         else mb.ep
@@ -256,40 +261,28 @@ def write_back_with_next(rs: rb.ReplayState, mb: MiniBatch, rho, dkl,
     is_far = rb.is_far_policy(rho, rs.cmax_ret, rs.cinv_ret)
     delta_far = is_far.astype(jnp.float32) - was_far.astype(jnp.float32)
     wb0 = rs._c[3]
-    ch_value = wb0 + 3
     rows = jnp.concatenate(
         [mb.row_t[:, :wb0],
          jnp.stack([rho, dkl, delta, value, advantage], axis=-1),
          mb.row_t[:, wb0 + 5:]],
         axis=-1)
-    t1 = jnp.where(mb.truncated_next, mb.t + 1, rs.max_len + 1)
-    row1 = mb.row_t1.at[:, ch_value].set(
-        jnp.where(mb.truncated_next, v_next, 0.0))
-    ep2 = jnp.concatenate([ep, mb.ep])
-    t2 = jnp.concatenate([t, t1])
-    rows2 = jnp.concatenate([rows, row1], axis=0)
+    ep_tr = jnp.where(mb.truncated_next, mb.ep, rs.n_slots)
     return rs._replace(
-        steps=rs.steps.at[ep2, t2].set(rows2, mode="drop"),
+        steps=rs.steps.at[ep, t].set(rows, mode="drop"),
         far_count=rs.far_count.at[ep].add(delta_far, mode="drop"),
+        v_trunc=rs.v_trunc.at[ep_tr].set(v_next, mode="drop"),
     )
 
 
 def write_next_value(rs: rb.ReplayState, mb: MiniBatch,
                      v_next) -> rb.ReplayState:
     """Refresh V(s_T) for sampled pre-truncation steps
-    (MB.setValues(bID, t+1, vNext), e.g. RACER_train.cpp:23-27).
-
-    Full-row scatter of the gathered t+1 record with only the value
-    channel replaced: semantically identical to the single-channel
-    write — t+1 == T here, and nothing else writes at T (sampled t is
-    always < T), so re-emitting the other gathered channels is a
-    no-op — while avoiding the slow partial-width scatter path."""
-    t1 = jnp.where(mb.truncated_next, mb.t + 1, rs.max_len + 1)
-    ch_value = rs._c[3] + 3
-    row1 = mb.row_t1.at[:, ch_value].set(
-        jnp.where(mb.truncated_next, v_next, 0.0))
-    return rs._replace(steps=rs.steps.at[mb.ep, t1].set(
-        row1, mode="drop"))
+    (MB.setValues(bID, t+1, vNext), e.g. RACER_train.cpp:23-27):
+    a scalar scatter into the v_trunc side-channel (see
+    write_back_with_next layout note)."""
+    ep_tr = jnp.where(mb.truncated_next, mb.ep, rs.n_slots)
+    return rs._replace(v_trunc=rs.v_trunc.at[ep_tr].set(
+        v_next, mode="drop"))
 
 
 def post_step_processing(rs: rb.ReplayState, cfg, opt_step, delta_q,

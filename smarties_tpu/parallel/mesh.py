@@ -42,7 +42,7 @@ def replay_pspec(rs) -> "ReplayStatePSpec":
     replicated scalars/stat vectors."""
     import dataclasses as _dc
     sharded = {"states", "steps", "slot_meta", "far_count", "qret_stale",
-               "samp_cl"}
+               "v_trunc", "samp_cl"}
     kw = {f.name: (P(AXIS) if f.name in sharded else P())
           for f in _dc.fields(rs) if not f.metadata.get("static")}
     return type(rs)(dim_action=rs.dim_action, dim_policy=rs.dim_policy,

@@ -137,6 +137,17 @@ class ReplayState:
     # zeros until refresh_new_returns runs (the at-ingest Retrace of
     # MemoryBuffer::terminateCurrentEpisode, batched per rollout chunk)
     qret_stale: jnp.ndarray      # [E] bool
+    # V(s_T) side-channel (r5): the ONLY record position ever written
+    # outside t < T is the value at t == length (truncated-episode
+    # bootstrap refresh, MB.setValues(t+1, vNext), RACER_train.cpp:23-27)
+    # — exactly one scalar per slot. Keeping it here lets the per-step
+    # write-back scatter [B, R] rows instead of [2B, R] (the row scatter
+    # is the costliest op of the train step, tools/profile_width.py).
+    # INVARIANT: for valid slots, v_trunc[e] holds the value-channel
+    # entry at t == length[e]; the `value` property substitutes it, so
+    # every full-array consumer (return sweeps, checkpoints) sees the
+    # exact pre-r5 array. Maintained at commit / write-backs / rebalance.
+    v_trunc: jnp.ndarray         # [E] f32
     # cached [cumsum(valid len), episode start offset] i32 for uniform
     # sampling — rebuilt wherever lengths change (commit/prune/clear/
     # rebalance); per-SHARD local when the slot axis is sharded (exactly
@@ -167,9 +178,14 @@ class ReplayState:
             steps = kw.pop("steps", self.steps)
             sm = kw.pop("slot_meta", self.slot_meta)
             meta_touched = False
+            val_arr = None
             for name in list(kw):
                 if name in sl:
-                    steps = steps.at[..., sl[name]].set(kw.pop(name))
+                    arr = kw.pop(name)
+                    if name == "value":
+                        val_arr = arr   # sync v_trunc below (needs the
+                        # final lengths if they change in this call)
+                    steps = steps.at[..., sl[name]].set(arr)
                 elif name == "actions":
                     steps = steps.at[..., ch_act:ch_mu].set(kw.pop(name))
                 elif name == "mus":
@@ -180,6 +196,11 @@ class ReplayState:
                     meta_touched = True
             if meta_touched:
                 steps = _sync_meta_mirror(steps, sm)
+            if val_arr is not None and "v_trunc" not in kw:
+                lens = jnp.clip(sm[:, 0], 0, self.max_len)
+                kw["v_trunc"] = jnp.take_along_axis(
+                    jnp.broadcast_to(val_arr, self.steps.shape[:2]),
+                    lens[:, None], axis=1)[:, 0]
             out = dataclasses.replace(self, steps=steps, slot_meta=sm,
                                       **kw)
             return rebuild_sample_cache(out) if meta_touched else out
@@ -223,7 +244,14 @@ class ReplayState:
 
     @property
     def value(self):
-        return self.steps[..., self._c[3] + 3]
+        """Effective value array: the stored channel with the v_trunc
+        side-channel substituted at t == length (see v_trunc field note;
+        the raw channel entry at T is stale by design)."""
+        v = self.steps[..., self._c[3] + 3]
+        t = jnp.arange(v.shape[1])
+        at_T = (t[None, :] == jnp.clip(self.length, 0, self.max_len)[:, None]) \
+            & self.valid_slots()[:, None]
+        return jnp.where(at_T, self.v_trunc[:, None], v)
 
     @property
     def advantage(self):
@@ -355,6 +383,7 @@ def init_replay(n_slots: int, max_len: int, dim_state: int, dim_action: int,
         n_pruned_eps=jnp.int32(0), max_abs_error=jnp.float32(0.0),
         far_count=jnp.zeros((E,), F32),
         qret_stale=jnp.zeros((E,), bool),
+        v_trunc=jnp.zeros((E,), F32),
         samp_cl=jnp.zeros((E, 2), I32),
         dim_action=dim_action, dim_policy=dim_policy,
         dim_state_packed=dsp,
@@ -486,6 +515,14 @@ def commit_episodes_packed(rs: ReplayState, ep_states, ep_steps, ep_length,
         raise ValueError(
             f"ep_steps width {ep_steps.shape[-1]} matches neither the "
             f"per-field record width {R - 3 - S} nor the full width {R}")
+    # v_trunc invariant: the value-channel entry at t == length of each
+    # arriving episode (acting-time V(s_T); exact for full-R payloads
+    # because rebalance patches the channel before shipping)
+    ch_value = rs._c[3] + 3
+    v_at_T = jnp.take_along_axis(
+        ep_steps[..., ch_value],
+        jnp.clip(ep_length.astype(I32), 0, rs.max_len)[:, None],
+        axis=1)[:, 0]
     rs = rs._replace(
         states=put(rs.states, ep_states),
         steps=put(rs.steps, ep_steps),
@@ -493,6 +530,7 @@ def commit_episodes_packed(rs: ReplayState, ep_states, ep_steps, ep_length,
         # fresh episodes arrive with rho == 1 everywhere: zero far steps
         far_count=put(rs.far_count, jnp.zeros(V, F32)),
         qret_stale=put(rs.qret_stale, jnp.ones(V, bool)),
+        v_trunc=put(rs.v_trunc, v_at_T),
         n_seen_eps=rs.n_seen_eps + n_done,
         n_seen_steps=rs.n_seen_steps + jnp.sum(
             jnp.where(done_mask, ep_length, 0)),
@@ -820,6 +858,13 @@ def rebalance_shards(rs: ReplayState, axis_name: str, k_max: int = 8,
     wb0 = rs._c[3]
     ship_steps = rs.steps[slots]
     ship_steps = ship_steps.at[:, :, wb0 + 1:wb0 + 3].set(0.0)
+    # materialize the v_trunc side-channel into the shipped records (the
+    # raw channel entry at T is stale by design; the receiver's commit
+    # re-derives its v_trunc from the record)
+    ship_steps = ship_steps.at[
+        jnp.arange(slots.shape[0]),
+        jnp.clip(rs.length[slots], 0, rs.max_len),
+        wb0 + 3].set(rs.v_trunc[slots])
     payload = dict(
         states=rs.states[slots], steps=ship_steps,
         length=rs.length[slots], terminal=rs.terminal[slots], ship=ship)

@@ -26,9 +26,9 @@ def force(x):
 
 def build(pack: bool):
     if pack:
-        os.environ.pop("SMT_NO_PACK_STATES", None)
+        os.environ["SMT_PACK_STATES"] = "1"
     else:
-        os.environ["SMT_NO_PACK_STATES"] = "1"
+        os.environ.pop("SMT_PACK_STATES", None)
     from smarties_tpu.envs import cartpole
     from smarties_tpu.runtime.trainer import Trainer
     from smarties_tpu.utils.config import HyperParameters
