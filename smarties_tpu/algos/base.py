@@ -146,7 +146,14 @@ def stacked_states(rs: rb.ReplayState, ep, t, n_appended: int):
 
 def gather_minibatch(rs: rb.ReplayState, ep, t,
                      per_w: Optional[jnp.ndarray] = None,
-                     n_appended: int = 0) -> MiniBatch:
+                     n_appended: int = 0,
+                     nhwc_hw: Optional[tuple] = None) -> MiniBatch:
+    """nhwc_hw=(H, W): emit s_t/s_t1 as NHWC [B, H, W, k+1] conv inputs
+    instead of flat rows (frame-stacked image envs only). The frame axis
+    moves to channels while still uint8 (1-byte transpose), then
+    standardization promotes once — the flat path's f32 reshape +
+    CHW->NHWC transpose inside the net (2x the bytes, twice) disappears.
+    Values are bit-identical; apply_net consumes rank-4 inputs as-is."""
     t1 = jnp.minimum(t + 1, rs.max_len)
     # ONE fused gather total when the replay packs states into the
     # record (small-dim f32 envs, buffer._ch layout notes); otherwise
@@ -165,10 +172,21 @@ def gather_minibatch(rs: rb.ReplayState, ep, t,
         # Values are identical to two stacked_states calls.
         offs = jnp.arange(-1, n_appended + 1)
         tj = jnp.maximum(t[:, None] - offs[None, :], 0)   # [B, k+2]
-        frames = (rs.states[ep[:, None], tj]
-                  - rs.state_mean) * rs.state_scale
-        s_t = frames[:, 1:].reshape(B, -1)
-        s_t1 = frames[:, :-1].reshape(B, -1)
+        if nhwc_hw is not None:
+            H, W = nhwc_hw
+            raw = rs.states[ep[:, None], tj]              # [B, k+2, H*W]
+            fr = jnp.moveaxis(raw.reshape(B, -1, H, W), 1, -1)
+            frames = (fr - rs.state_mean.reshape(H, W, 1)) \
+                * rs.state_scale.reshape(H, W, 1)         # [B,H,W,k+2]
+            # channel j holds frame t+1-j: s_t = channels [1, k+1],
+            # s_t1 = channels [0, k] (newest-first stacking order)
+            s_t = frames[..., 1:]
+            s_t1 = frames[..., :-1]
+        else:
+            frames = (rs.states[ep[:, None], tj]
+                      - rs.state_mean) * rs.state_scale
+            s_t = frames[:, 1:].reshape(B, -1)
+            s_t1 = frames[:, :-1].reshape(B, -1)
         rows = rs.steps[jnp.concatenate([ep, ep]),
                         jnp.concatenate([t, t1])]      # [2B, R]
     elif rs.dim_state_packed:

@@ -147,8 +147,14 @@ class DQN:
         else:
             k_samp, = jax.random.split(key, 1)
             ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
+        # conv + frame-stacked inputs gather directly in NHWC (base.py
+        # nhwc_hw note; bit-identical, skips the in-net transpose)
+        nhwc = ((self.spec.conv[0].in_h, self.spec.conv[0].in_w)
+                if (self.spec.conv and self.mdp.n_appended_obs
+                    and not self.spec.is_recurrent) else None)
         mb = gather_minibatch(rs, ep, t,
-                              n_appended=self.mdp.n_appended_obs)
+                              n_appended=self.mdp.n_appended_obs,
+                              nhwc_hw=nhwc)
         opt = mb.action[..., 0].astype(jnp.int32)
 
         spec = self.spec

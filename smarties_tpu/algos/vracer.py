@@ -191,8 +191,14 @@ class VRacer:
             ep, t = sample_override
         else:
             ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
+        # conv + frame-stacked inputs gather directly in NHWC (skips the
+        # f32 CHW->NHWC transpose inside the net; base.py nhwc_hw note)
+        nhwc = ((self.spec.conv[0].in_h, self.spec.conv[0].in_w)
+                if (self.spec.conv and self.mdp.n_appended_obs
+                    and not self.spec.is_recurrent) else None)
         mb = gather_minibatch(rs, ep, t,
-                              n_appended=self.mdp.n_appended_obs)
+                              n_appended=self.mdp.n_appended_obs,
+                              nhwc_hw=nhwc)
         a_t, mu_t, qret_t = mb.action, mb.mu, mb.qret
 
         spec = self.spec

@@ -283,12 +283,17 @@ def apply_net(params: Dict, spec: NetSpec, x, carry=()):
 
     h = x
     if spec.conv:
-        lead = h.shape[:-1]
         c0 = spec.conv[0]
-        # flattened input is [frame0; frame1; ...] (appended past obs,
-        # Episode::standardizedState) == CHW; convert to NHWC for XLA
-        h = h.reshape((-1, c0.in_c, c0.in_h, c0.in_w))
-        h = jnp.transpose(h, (0, 2, 3, 1))
+        if h.ndim == 4 and h.shape[1:] == (c0.in_h, c0.in_w, c0.in_c):
+            # pre-shaped NHWC input (gather_minibatch nhwc_hw path):
+            # skip the flat-input reshape + CHW->NHWC transpose
+            lead = h.shape[:1]
+        else:
+            lead = h.shape[:-1]
+            # flattened input is [frame0; frame1; ...] (appended past
+            # obs, Episode::standardizedState) == CHW; convert to NHWC
+            h = h.reshape((-1, c0.in_c, c0.in_h, c0.in_w))
+            h = jnp.transpose(h, (0, 2, 3, 1))
         for layer, c in zip(params["conv"], spec.conv):
             w = layer["W"].astype(cdt) if cdt is not None else layer["W"]
             # NOTE: pure-bf16 conv + explicit upcast (not
