@@ -73,12 +73,13 @@ COMBOS = {
         env="cartpole", recipe="PPO",
         over={"minTotObsNum": 2048},
         budget=60_000, wall=1800, n_envs=64),
-    # glider episodes run up to 400 steps: 3M grad steps = ~2900 env
-    # steps per lane = ~7 episodes per lane
+    # r5: faithful glider (ground-contact termination, goal |x-100|,
+    # terminal bump reward — envs/glider.py). Episodes run ~120-500
+    # steps; 4M grad steps = ~3900 env steps/lane = ~20+ episodes/lane
     "racer_glider": dict(
         env="glider", recipe="RACER_glider",
         over={"minTotObsNum": 65536},
-        budget=3_000_000, wall=900, n_envs=1024),
+        budget=4_000_000, wall=1800, n_envs=1024),
     # ---- r3: solved-threshold records for the weak algos (VERDICT #7) --
     "dqn_cartpole": dict(
         env="cartpole.discrete", recipe="DQN",
