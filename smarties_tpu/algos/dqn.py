@@ -147,11 +147,13 @@ class DQN:
         else:
             k_samp, = jax.random.split(key, 1)
             ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
-        # conv + frame-stacked inputs gather directly in NHWC (base.py
-        # nhwc_hw note; bit-identical, skips the in-net transpose)
+        # NHWC-direct gather: opt-in only — measured slower on this
+        # backend (see algos/vracer.py note)
+        import os as _os
         nhwc = ((self.spec.conv[0].in_h, self.spec.conv[0].in_w)
                 if (self.spec.conv and self.mdp.n_appended_obs
-                    and not self.spec.is_recurrent) else None)
+                    and not self.spec.is_recurrent
+                    and _os.environ.get("SMT_NHWC_GATHER")) else None)
         mb = gather_minibatch(rs, ep, t,
                               n_appended=self.mdp.n_appended_obs,
                               nhwc_hw=nhwc)
