@@ -7,11 +7,16 @@ passes of minibatch updates, then the buffer is cleared (PPO.cpp:96-115);
 separate actor and critic (critic lr x3, PPO_common.cpp:70-74) over an
 optional shared encoder; GAE returns (factory default).
 
-Faithful reference quirks kept: the surrogate "gain" is rho * (ret - V)
-zeroed by the clip test on the RETURN's sign (PPO_train.cpp:41-46), and the
-learned Lagrange penalty coefficient + adaptive DKL target are maintained
-(for metrics/possible use) even though the reference mixes the KL-penalty
-gradient with weight 1 vs 0 — i.e. pure clip (PPO_train.cpp:52).
+Faithful reference quirks kept (default): the surrogate "gain" is
+rho * (ret - V) zeroed by the clip test on the RETURN's sign
+(PPO_train.cpp:41-46), and the learned Lagrange penalty coefficient +
+adaptive DKL target are maintained (for metrics/possible use) even though
+the reference mixes the KL-penalty gradient with weight 1 vs 0 — i.e.
+pure clip (PPO_train.cpp:52). The faithful surrogate never demonstrates
+learning on the repo envs (docs/RESULTS.md); `ppoStandard: true` swaps
+in the published PPO-clip rule (ADVANTAGE-sign gating + per-batch
+advantage normalization, DEVIATIONS #20) and solves cart-pole 500.0 /
+pendulum -184.
 
 Deviation, deliberate: the reference's critic gradient is gated to
 far-policy samples ONLY (`verr * (isOff? 1 : 0)`, PPO_train.cpp:69), which

@@ -1,9 +1,15 @@
-"""Decompose the Atari-scale RACER train step (transfer-forced, r4).
+"""Decompose the Atari-scale RACER train step (transfer-forced).
 
 Ablations of the bench.py atari config (batch 128, Mnih 84x84x4 conv ->
-512 dense, uint8 replay, frame stacking n_appended=3) to find where the
-~0.76 ms/step goes vs the ~0.15 ms isolated conv fwd+bwd:
-  presample+gathers | +forward/backward/adam | +write-backs | full
+512 dense, uint8 replay, frame stacking n_appended=3).
+r5 decomposition at N=1024 (us/step): scan floor 55 | gather+
+standardize +68 | net fwd +88 | bwd+adam +132 | policy math +
+write-backs +17 = ~361 total. The FLOP-carrying 220 us runs at ~30% of
+bf16 peak; bf16 compute measured NEUTRAL twice (the conv bwd is bound
+by its internal transposes/memory, not MXU flops), and the NHWC-direct
+gather measured SLOWER (uint8 transpose cost) — both remain opt-in
+probes (nnBf16, SMT_NHWC_GATHER). N below is 200 for quick runs:
+subtract ~28ms/N of fixed dispatch cost before comparing absolutes.
 Run on the default (TPU) env, ONE job at a time.
 """
 import os
