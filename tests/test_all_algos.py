@@ -60,6 +60,13 @@ class TestAllAlgos:
         run_algo(NAF, cartpole, cartpole.MDP,
                  {"learner": "NAF", "returnsEstimator": "retrace"})
 
+    def test_naf_gaussian_advantage(self):
+        # NAF_ADV_GAUS compile-switch analog (DEVIATIONS #21)
+        from smarties_tpu.algos.naf import NAF
+        run_algo(NAF, cartpole, cartpole.MDP,
+                 {"learner": "NAF", "returnsEstimator": "retrace",
+                  "nafAdvGaussian": True})
+
     def test_dpg(self):
         from smarties_tpu.algos.dpg import DPG
         run_algo(DPG, cartpole, cartpole.MDP,
@@ -70,6 +77,14 @@ class TestAllAlgos:
         run_algo(PPO, cartpole, cartpole.MDP,
                  {"learner": "PPO", "clipImpWeight": 0.2,
                   "maxTotObsNum": 512, "obsPerStep": 6.4})
+
+    def test_ppo_standard(self):
+        # standard PPO-clip mode (DEVIATIONS #20)
+        from smarties_tpu.algos.ppo import PPO
+        run_algo(PPO, cartpole, cartpole.MDP,
+                 {"learner": "PPO", "clipImpWeight": 0.2,
+                  "maxTotObsNum": 512, "obsPerStep": 6.4,
+                  "ppoStandard": True})
 
     def test_acer(self):
         from smarties_tpu.algos.acer import ACER
