@@ -144,6 +144,20 @@ def stacked_states(rs: rb.ReplayState, ep, t, n_appended: int):
     return frames.reshape(frames.shape[0], -1)
 
 
+def nhwc_probe_hw(spec, mdp):
+    """(H, W) when the NHWC-direct conv gather probe is enabled
+    (SMT_NHWC_GATHER=1), else None. Opt-in only: measured SLOWER on the
+    axon TPU (atari step 0.408 -> 0.606 ms — the uint8 frame-axis
+    transpose costs more than the flat path's in-net f32 transpose,
+    which XLA fuses well); kept for probes with bit-parity tests
+    (tests/test_nhwc_gather.py)."""
+    import os
+    if (spec.conv and mdp.n_appended_obs and not spec.is_recurrent
+            and os.environ.get("SMT_NHWC_GATHER")):
+        return (spec.conv[0].in_h, spec.conv[0].in_w)
+    return None
+
+
 def gather_minibatch(rs: rb.ReplayState, ep, t,
                      per_w: Optional[jnp.ndarray] = None,
                      n_appended: int = 0,

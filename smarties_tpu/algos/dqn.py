@@ -147,16 +147,10 @@ class DQN:
         else:
             k_samp, = jax.random.split(key, 1)
             ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
-        # NHWC-direct gather: opt-in only — measured slower on this
-        # backend (see algos/vracer.py note)
-        import os as _os
-        nhwc = ((self.spec.conv[0].in_h, self.spec.conv[0].in_w)
-                if (self.spec.conv and self.mdp.n_appended_obs
-                    and not self.spec.is_recurrent
-                    and _os.environ.get("SMT_NHWC_GATHER")) else None)
+        from smarties_tpu.algos.base import nhwc_probe_hw
         mb = gather_minibatch(rs, ep, t,
                               n_appended=self.mdp.n_appended_obs,
-                              nhwc_hw=nhwc)
+                              nhwc_hw=nhwc_probe_hw(self.spec, self.mdp))
         opt = mb.action[..., 0].astype(jnp.int32)
 
         spec = self.spec

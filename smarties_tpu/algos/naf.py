@@ -116,27 +116,15 @@ class NAF:
 
     def _gauss_adv(self, adv_out, mean_raw, action, sigma):
         """Asymmetric-Gaussian advantage (Gaus_advantage.h:75-88)
-        centered on the policy mean. Unlike ops.advantages
-        .gaussian_advantage (RACER: policy factors stop-gradient'd,
-        trained by the policy gradient), NAF trains the mean THROUGH the
-        bump center — it is Q-learning with no policy gradient, exactly
-        as the quadratic variant trains its own mean. The mix-ratio
-        variance stays stop-gradient'd (the stdev head is trained only
-        by fixExplorationGrad, NAF.cpp:160-161)."""
-        from smarties_tpu.ops.softplus import softplus
-        nA = self.mdp.dim_action
-        m = cp.eff_mean(mean_raw, self.bounded)
-        v = jax.lax.stop_gradient(sigma * sigma)
-        coef = softplus(adv_out[..., 0])
-        p_hi = softplus(adv_out[..., 1:1 + nA])
-        p_lo = softplus(adv_out[..., 1 + nA:1 + 2 * nA])
-        d = action - m
-        p_side = jnp.where(d > 0, p_hi, p_lo)
-        shape = -0.5 * jnp.sum(d * d / p_side, axis=-1)
-        mix = (jnp.sqrt(p_hi / (p_hi + v))
-               + jnp.sqrt(p_lo / (p_lo + v))) / 2
-        ratio = jnp.prod(mix, axis=-1)
-        return coef * (jnp.exp(shape) - ratio)
+        centered on the policy mean, with the mean trained THROUGH the
+        bump center (stop_policy_grad=False): NAF is Q-learning with no
+        policy gradient, exactly as the quadratic variant trains its own
+        mean. The mix-ratio variance stays stop-gradient'd inside the
+        shared helper (the stdev head is trained only by
+        fixExplorationGrad, NAF.cpp:160-161)."""
+        return adv_ops.gaussian_advantage(
+            adv_out, action, cp.eff_mean(mean_raw, self.bounded),
+            sigma * sigma, stop_policy_grad=False)
 
     # ------------------------------------------------------------------
     def make_act_fn(self, train: bool = True):

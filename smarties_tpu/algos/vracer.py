@@ -191,19 +191,10 @@ class VRacer:
             ep, t = sample_override
         else:
             ep, t = rb.sample(k_samp, rs, B, self.cfg.dataSamplingAlgo)
-        # conv + frame-stacked inputs CAN gather directly in NHWC
-        # (base.py nhwc_hw note) — measured SLOWER on the axon TPU
-        # (atari step 0.408 -> 0.606 ms: the uint8 [B,k+2,H,W]->NHWC
-        # transpose costs more than the flat path's in-net f32
-        # transpose, which XLA fuses well), so opt-in for probes only
-        import os as _os
-        nhwc = ((self.spec.conv[0].in_h, self.spec.conv[0].in_w)
-                if (self.spec.conv and self.mdp.n_appended_obs
-                    and not self.spec.is_recurrent
-                    and _os.environ.get("SMT_NHWC_GATHER")) else None)
+        from smarties_tpu.algos.base import nhwc_probe_hw
         mb = gather_minibatch(rs, ep, t,
                               n_appended=self.mdp.n_appended_obs,
-                              nhwc_hw=nhwc)
+                              nhwc_hw=nhwc_probe_hw(self.spec, self.mdp))
         a_t, mu_t, qret_t = mb.action, mb.mu, mb.qret
 
         spec = self.spec

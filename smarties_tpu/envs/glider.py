@@ -97,13 +97,22 @@ def _deriv(q, torque):
     return jnp.stack([du, dv, dw, dx, dy, w], axis=-1)
 
 
-def _is_over(q, nstep):
+def _is_over_space(q):
+    """Spatial termination only (glider.h:190-199 minus timeover): used
+    for the mid-step integration freeze — the reference's timeover
+    (time > 5000) ticks per SUBSTEP and is practically unreachable, so
+    the per-action step limit must not freeze the integrator before the
+    final action's substeps run."""
     x, y = q[..., 3], q[..., 4]
     slack = 0.4 * jnp.maximum(0.0, jnp.minimum(x - 50.0, 100.0 - x))
     hit_bottom = y <= -50.0 - slack
     wrong_xdir = x < -50.0
     way_too_far = x > 200.0
-    return hit_bottom | wrong_xdir | way_too_far | (nstep >= MAX_STEPS)
+    return hit_bottom | wrong_xdir | way_too_far
+
+
+def _is_over(q, nstep):
+    return _is_over_space(q) | (nstep >= MAX_STEPS)
 
 
 def init(key, n: int) -> GliderState:
@@ -130,14 +139,16 @@ def _dist(q):
 
 
 def _terminal_reward(q):
-    """getTerminalReward (glider.h:267-291)."""
+    """getTerminalReward (glider.h:267-292): the landing bump MINUS the
+    final distance (the `- dist` tail, glider.h:291, penalizes every
+    non-landing termination in proportion to how far it ended)."""
     a = jnp.mod(q[..., 5], 2.0 * np.pi)
     dist = _dist(q)
     rela = jnp.abs(a - 0.25 * np.pi)
     xrew = jnp.where(dist > 5.0, 0.0, jnp.exp(-dist * dist))
     arew = jnp.where((rela > np.pi / 4) | (dist > 5.0), 0.0,
                      jnp.exp(-10.0 * rela * rela))
-    return TERM_REW_FAC * (xrew + arew)
+    return TERM_REW_FAC * (xrew + arew) - dist
 
 
 def step(st: GliderState, env_action):
@@ -156,12 +167,12 @@ def step(st: GliderState, env_action):
         for s in range(6):
             w = w * RK_A[s] + _deriv(u, torque) * DT_SUB
             u = u + w * RK_B[s]
-        over = _is_over(u, nstep)
+        over = _is_over_space(u)
         q2 = jnp.where(frozen[:, None], q, u)
         return q2, frozen | over
 
     q, _ = jax.lax.fori_loop(0, N_SUB, sub,
-                             (q, _is_over(q, nstep)))
+                             (q, _is_over_space(q)))
     d_after = _dist(q)
 
     terminal = _is_over(q, nstep)

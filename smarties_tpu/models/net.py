@@ -284,6 +284,12 @@ def apply_net(params: Dict, spec: NetSpec, x, carry=()):
     h = x
     if spec.conv:
         c0 = spec.conv[0]
+        if cdt is not None:
+            # bf16 recipes cast BEFORE the reshape/transpose below:
+            # the conv-input tensor is the largest in the step and the
+            # transpose traffic halves (with f32 the cast sits inside
+            # the conv loop and the transpose moves f32 bytes)
+            h = h.astype(cdt)
         if h.ndim == 4 and h.shape[1:] == (c0.in_h, c0.in_w, c0.in_c):
             # pre-shaped NHWC input (gather_minibatch nhwc_hw path):
             # skip the flat-input reshape + CHW->NHWC transpose

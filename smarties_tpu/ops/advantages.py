@@ -58,15 +58,20 @@ def gaussian_initial_bias(n_act: int):
     return [-1.0] + [1.0] * (2 * n_act)
 
 
-def gaussian_advantage(adv_out, action, pol_mean, pol_var):
+def gaussian_advantage(adv_out, action, pol_mean, pol_var,
+                       stop_policy_grad: bool = True):
     """A(a) = coef * (exp(-0.5 sum (a-m)^2/p_side) - mixRatio).
 
     adv_out: [..., 1+2nA] raw net outputs; action/pol_mean/pol_var [..., nA].
-    pol_mean is the policy's effective (clamped) mean; both policy factors
-    are stop-gradient'd — the reference's grad() writes only the advantage
-    slice (Gaus_advantage.h:93-115).
+    pol_mean is the policy's effective (clamped) mean; by default both
+    policy factors are stop-gradient'd — the reference's grad() writes
+    only the advantage slice (Gaus_advantage.h:93-115; RACER trains the
+    mean through the policy gradient instead). stop_policy_grad=False
+    lets the gradient flow through the bump CENTER (but never the
+    mix-ratio variance): the Gaussian-NAF mode, where Q-learning is the
+    only mean-training signal (algos/naf.py, DEVIATIONS #21).
     """
-    m = jax.lax.stop_gradient(pol_mean)
+    m = jax.lax.stop_gradient(pol_mean) if stop_policy_grad else pol_mean
     v = jax.lax.stop_gradient(pol_var)
     nA = m.shape[-1]
     coef = softplus(adv_out[..., 0])

@@ -221,6 +221,7 @@ class Trainer:
         # counters (ReplayStatsCounters analog; host side for pacing)
         self.n_env_steps = 0          # nSeenTransitions_loc
         self.n_grad_steps = 0
+        self.fused_retries = 0        # TPU-worker crash recoveries
         self.n_obs_b4_start = cfg.minTotObsNum  # nObsB4StartTraining
         self._initialized = False
         self._last_refresh = 0
@@ -448,20 +449,26 @@ class Trainer:
         n_train = max(1, int(round(self.n_envs / self.cfg.obsPerStep)))
         target = self.n_grad_steps + n_grad_steps
         t0 = time.time()
-        if fence_every is None and self.algo_is_recurrent:
-            fence_every = 16384
+        if fence_every is None:
+            # recurrent cycle programs are ~40x costlier: fence (and
+            # snapshot) much more often
+            fence_every = 16384 if self.algo_is_recurrent else 131072
         # NOTE: any warmup overshoot persists as a constant bounded offset
         # in the pacing ledger (cycles are exactly balanced); the reference
         # has the same transient from in-flight episodes at startup.
         flush_at = getattr(self, "log_flush_threshold", 32)
 
         def snapshot():
+            """Host copy of the COMPLETE post-cycle state, taken only
+            after the step ledger has been advanced for that cycle —
+            params/carry and counters must agree or recovery re-runs an
+            already-applied cycle (exactly-once accounting)."""
             host = jax.device_get((self.params, self.opt_state,
                                    self.carry))
             return (host, self.n_grad_steps, self.n_env_steps,
                     self._last_refresh, len(self._pending_logs))
 
-        snap = snapshot() if fence_every else None
+        snap = snapshot() if max_retries > 0 else None
         last_fence = self.n_grad_steps
         retries = 0
         while self.n_grad_steps < target and time.time() - t0 < max_wall_s:
@@ -469,12 +476,6 @@ class Trainer:
                 (self.params, self.opt_state, self.carry, metrics,
                  logs) = self._fused_cycle(self.params, self.opt_state,
                                            self.carry, 1, n_train)
-                if (fence_every
-                        and self.n_grad_steps - last_fence >= fence_every):
-                    # drains the dispatch queue AND refreshes the
-                    # crash-recovery snapshot (one transfer)
-                    snap = snapshot()
-                    last_fence = self.n_grad_steps
             except Exception as e:  # noqa: BLE001 — backend loss
                 msg = repr(e)
                 recoverable = ("UNAVAILABLE" in msg or "crashed" in msg
@@ -483,6 +484,7 @@ class Trainer:
                         or retries >= max_retries:
                     raise
                 retries += 1
+                self.fused_retries += 1
                 wait = 180.0 * (2 ** (retries - 1))
                 print(f"train_fused: TPU worker lost ({msg[:120]}); "
                       f"retry {retries}/{max_retries} after {wait:.0f}s "
@@ -509,6 +511,16 @@ class Trainer:
                 self.carry = self.carry._replace(
                     replay=self._refresh(self.carry.replay,
                                          float(self.n_grad_steps)))
+            if (snap is not None
+                    and self.n_grad_steps - last_fence >= fence_every):
+                # end-of-body: ledger, logs and the refresh cadence are
+                # all consistent with the device state here. Drains the
+                # dispatch queue AND refreshes the recovery snapshot
+                # (one transfer); successful progress resets the retry
+                # budget.
+                snap = snapshot()
+                last_fence = self.n_grad_steps
+                retries = 0
             if (self.n_grad_steps - self._last_log) >= log_every:
                 self._last_log = self.n_grad_steps
                 self.log_status()

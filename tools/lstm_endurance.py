@@ -47,7 +47,6 @@ def main():
     def fence():
         np.asarray(jax.tree_util.tree_leaves(tr.params)[0].ravel()[0])
 
-    retries0 = 0
     while tr.n_grad_steps < BUDGET:
         step = min(BUDGET - tr.n_grad_steps, 262144)
         tr.train_fused(step, log_every=10 ** 9, flush=False)
@@ -66,6 +65,9 @@ def main():
         else 0,
         "eval_mean": round(float(np.mean(ev)), 2),
         "eval_std": round(float(np.std(ev)), 2),
+        # crash recoveries actually taken by train_fused (0 == the run
+        # also never needed the retry path)
+        "worker_crash_retries": tr.fused_retries,
         "completed_unattended": True,
     }
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
