@@ -50,6 +50,37 @@ def test_retry_resumes_from_snapshot(monkeypatch):
     assert calls["n"] > 8
 
 
+def test_recovery_matches_uninterrupted_run(monkeypatch):
+    """Exactly-once accounting: a crash + snapshot recovery must
+    reproduce the uninterrupted run BITWISE (cycle keys derive from the
+    carry, so replaying from a consistent snapshot is deterministic)."""
+    import numpy as np
+
+    ref = _trainer()
+    ref.train_fused(64 * 8, log_every=10 ** 9, fence_every=64 * 2)
+
+    tr = _trainer()
+    real = tr._fused_cycle
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 5:
+            raise _Unavailable("UNAVAILABLE: TPU worker crashed")
+        return real(*a, **kw)
+
+    tr._fused_cycle = flaky
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    tr.train_fused(64 * 8, log_every=10 ** 9, fence_every=64 * 2)
+
+    assert tr.n_grad_steps == ref.n_grad_steps
+    assert tr.n_env_steps == ref.n_env_steps
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(ref.params),
+                    jax.tree_util.tree_leaves(tr.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_unrecoverable_error_propagates(monkeypatch):
     tr = _trainer()
 
