@@ -99,3 +99,17 @@ class TestConvTraining:
         # the policy picking the right action most of the time
         rets = tr.evaluate(16, max_steps=imgenv.MAX_STEPS)
         assert np.mean(rets) > 10, rets  # max 16
+
+    def test_dqn_with_conv_and_stack(self):
+        from smarties_tpu.algos.dqn import DQN
+        cfg = HyperParameters(minTotObsNum=256, maxTotObsNum=1024,
+                              batchSize=32, nnLayerSizes=[16],
+                              learnrate=1e-3, learner="DQN",
+                              clipImpWeight=4.0,
+                              returnsEstimator="retrace")
+        tr = Trainer(imgenv, imgenv.MDP, cfg, n_envs=8, n_slots=128,
+                     max_len=imgenv.MAX_STEPS, algo_cls=DQN)
+        tr.warmup(chunk=16)
+        tr.train(300, log_every=10**9)
+        rets = tr.evaluate(16, max_steps=imgenv.MAX_STEPS)
+        assert np.mean(rets) > 10, rets  # max 16
