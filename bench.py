@@ -79,6 +79,10 @@ THRESHOLD, TRAIL = 150.0, 20
 # bf16 peak FLOP/s per chip by device-kind substring (MFU denominator)
 PEAKS = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
          "v4": 275e12, "v6": 918e12}
+# HBM bandwidth (bytes/s): the roofline that actually binds the atari
+# step (adam moments alone move ~91 MB/step at 3.2M params)
+HBM_PEAKS = {"v5 lite": 819e9, "v5e": 819e9, "v5p": 2765e9,
+             "v4": 1228e9, "v6": 1640e9}
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 CACHE_DIR = os.path.join(HERE, ".jax_cache")
@@ -364,8 +368,12 @@ def build_atari():
                                   (E, L + 1, mdp.dim_state_observed),
                                   0, 256, jnp.uint8),
         rho=jnp.ones((E, L + 1)))
-    # Q amortizes the ~28 ms fixed dispatch+transfer cost (<0.1 ms/step)
-    Q = 400
+    # Q amortizes the ~28 ms fixed dispatch+transfer cost down to the
+    # steady-state floor (~27 us/step at 1024, vs 70 us at the r4
+    # Q=400) — the same per-dispatch iteration count the fused loop and
+    # the cost model (CLAUDE.md) use; program runtime ~0.35 s, far
+    # under the ~30 s worker-crash limit
+    Q = 1024
 
     def chunk(p, o, r, k):
         from smarties_tpu.algos.base import presample_uniform
@@ -419,6 +427,22 @@ def time_atari(algo, jf, Q, args, warm):
             if peak:
                 res["atari_mfu_vs_bf16_peak"] = round(
                     tflops * 1e12 / peak, 4)
+        # memory roofline floor: EVERY train step streams the full
+        # f32 adam state (read p/m/v/grad + write p/m/v = 28 B/param;
+        # models/optim.py) — at 3.2M params that alone is ~91 MB/step,
+        # a hard >100 us floor on v5e regardless of MXU speed. Report
+        # it so the MFU gap reads as the memory-bound fact it is.
+        # (XLA cost_analysis "bytes accessed" is NOT used: it counts
+        # fusion-internal operand reads and exceeds HBM peak 9x here.)
+        n_par = sum(int(l.size) for l in
+                    jax.tree_util.tree_leaves(params))
+        hpeak = next((v for s, v in HBM_PEAKS.items() if s in kind),
+                     None)
+        if hpeak:
+            floor_ms = n_par * 28 / hpeak * 1e3
+            res["atari_adam_hbm_floor_ms"] = round(floor_ms, 3)
+            res["atari_adam_hbm_floor_frac"] = round(
+                floor_ms / step_ms, 3)
     except Exception as e:  # cost analysis may be unsupported remotely
         res["atari_cost_analysis_error"] = repr(e)[:120]
     return res

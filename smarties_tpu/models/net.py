@@ -120,6 +120,26 @@ class Conv2DDesc:
         return (self.in_h - self.filter) // self.stride + 1
 
 
+def _s2d_stride(c0: "Conv2DDesc") -> int:
+    """Stride s when the FIRST conv layer runs as a space-to-depth
+    stride-1 conv (blocked s*s*in_c input channels), else 0.
+
+    Applicability: strided, filter and image divisible by the stride,
+    and a small input depth (the case the MXU handles poorly — e.g. the
+    Mnih 8x8/4 conv over 4 stacked frames becomes a 2x2/1 conv over 64
+    channels). Opt out with SMT_NO_S2D=1 (bit-compat with pre-r5
+    artifacts; the transform is numerically equivalent, not bitwise).
+    """
+    import os
+    if os.environ.get("SMT_NO_S2D"):
+        return 0
+    s = c0.stride
+    if (s > 1 and c0.filter % s == 0 and c0.in_h % s == 0
+            and c0.in_w % s == 0 and c0.in_c <= 8):
+        return s
+    return 0
+
+
 @dataclass(frozen=True)
 class NetSpec:
     """Static architecture description (reference: Builder.cpp:27-180)."""
@@ -284,6 +304,7 @@ def apply_net(params: Dict, spec: NetSpec, x, carry=()):
     h = x
     if spec.conv:
         c0 = spec.conv[0]
+        s2d = _s2d_stride(c0)
         if cdt is not None:
             # bf16 recipes cast BEFORE the reshape/transpose below:
             # the conv-input tensor is the largest in the step and the
@@ -294,14 +315,48 @@ def apply_net(params: Dict, spec: NetSpec, x, carry=()):
             # pre-shaped NHWC input (gather_minibatch nhwc_hw path):
             # skip the flat-input reshape + CHW->NHWC transpose
             lead = h.shape[:1]
+            if s2d:
+                s = s2d
+                h = h.reshape((-1, c0.in_h // s, s, c0.in_w // s, s,
+                               c0.in_c))
+                h = jnp.transpose(h, (0, 1, 3, 2, 4, 5)).reshape(
+                    (-1, c0.in_h // s, c0.in_w // s, s * s * c0.in_c))
         else:
             lead = h.shape[:-1]
             # flattened input is [frame0; frame1; ...] (appended past
             # obs, Episode::standardizedState) == CHW; convert to NHWC
-            h = h.reshape((-1, c0.in_c, c0.in_h, c0.in_w))
-            h = jnp.transpose(h, (0, 2, 3, 1))
-        for layer, c in zip(params["conv"], spec.conv):
+            if s2d:
+                # straight to the space-to-depth block layout in ONE
+                # transpose (channel order (p, q, c) matches the weight
+                # transform below)
+                s = s2d
+                h = h.reshape((-1, c0.in_c, c0.in_h // s, s,
+                               c0.in_w // s, s))
+                h = jnp.transpose(h, (0, 2, 4, 3, 5, 1)).reshape(
+                    (-1, c0.in_h // s, c0.in_w // s, s * s * c0.in_c))
+            else:
+                h = h.reshape((-1, c0.in_c, c0.in_h, c0.in_w))
+                h = jnp.transpose(h, (0, 2, 3, 1))
+        for ci, (layer, c) in enumerate(zip(params["conv"], spec.conv)):
             w = layer["W"].astype(cdt) if cdt is not None else layer["W"]
+            if ci == 0 and s2d:
+                # space-to-depth (MLPerf-style): an [K,K,Cin,O] stride-s
+                # conv over tiny Cin is MXU-hostile (the systolic array
+                # wants deep input channels); re-express it EXACTLY as a
+                # [K/s,K/s,s*s*Cin,O] stride-1 conv over s*s-deep
+                # blocked pixels. Same index set, summed in a different
+                # order -> numerically equivalent (not bitwise);
+                # parameters stay in the reference [K,K,Cin,O] layout
+                # (checkpoint compat), transformed at trace time (tiny).
+                s = s2d
+                w = w.reshape((c.filter // s, s, c.filter // s, s,
+                               c.in_c, c.out_c))
+                w = jnp.transpose(w, (0, 2, 1, 3, 4, 5)).reshape(
+                    (c.filter // s, c.filter // s, s * s * c.in_c,
+                     c.out_c))
+                stride = (1, 1)
+            else:
+                stride = (c.stride, c.stride)
             # NOTE: pure-bf16 conv + explicit upcast (not
             # preferred_element_type): the conv transpose in the VJP
             # would otherwise pair an f32 cotangent with bf16 kernels
@@ -309,7 +364,7 @@ def apply_net(params: Dict, spec: NetSpec, x, carry=()):
             # TPU convs accumulate f32 internally either way.
             h = jax.lax.conv_general_dilated(
                 h.astype(cdt) if cdt is not None else h, w,
-                (c.stride, c.stride), "VALID",
+                stride, "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             h = _ACTS["LRelu"](h.astype(jnp.float32) + layer["b"])
         h = h.reshape(lead + (-1,))
